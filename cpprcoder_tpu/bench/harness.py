@@ -1,0 +1,132 @@
+"""Canterbury benchmark/verification harness.
+
+Reproduces the reference harness behavior (test/main.cpp run_* functions):
+for each file, encode → decode → byte-compare → report ratio and throughput,
+as a markdown table plus structured JSON (SURVEY.md §5 metrics plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+CANTERBURY = [
+    "alice29.txt", "asyoulik.txt", "cp.html", "fields.c", "grammar.lsp",
+    "kennedy.xls", "lcet10.txt", "plrabn12.txt", "ptt5", "sum", "xargs.1",
+]
+
+# reference ratios (BASELINE.md; compressed/original, smaller = better)
+REF_RATIOS = {
+    "static_range": {
+        "alice29.txt": 0.574532, "asyoulik.txt": 0.605293, "cp.html": 0.674836,
+        "fields.c": 0.672646, "grammar.lsp": 0.718893, "kennedy.xls": 0.452938,
+        "lcet10.txt": 0.585129, "plrabn12.txt": 0.567788, "ptt5": 0.157010,
+        "sum": 0.679759, "xargs.1": 0.735510,
+    },
+    "adaptive_range": {
+        "alice29.txt": 0.573000, "asyoulik.txt": 0.603400, "cp.html": 0.662480,
+        "fields.c": 0.642511, "grammar.lsp": 0.619457, "kennedy.xls": 0.447426,
+        "lcet10.txt": 0.584625, "plrabn12.txt": 0.567367, "ptt5": 0.152158,
+        "sum": 0.670450, "xargs.1": 0.648924,
+    },
+    "slz4": {
+        "alice29.txt": 0.590510, "asyoulik.txt": 0.623499, "cp.html": 0.494452,
+        "fields.c": 0.479283, "grammar.lsp": 0.527546, "kennedy.xls": 0.362974,
+        "lcet10.txt": 0.552485, "plrabn12.txt": 0.654747, "sum": 0.501464,
+        "xargs.1": 0.637568,
+    },
+}
+
+
+def data_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "data")
+
+
+def load(name: str) -> bytes:
+    with open(os.path.join(data_dir(), name), "rb") as f:
+        return f.read()
+
+
+def run_codec(codec_name: str, files=None, repeats: int = 3,
+              warmup: bool = True, **opts) -> dict:
+    """Encode+decode each corpus file; verify; time best-of-repeats."""
+    from cpprcoder_tpu.codecs import get_codec
+
+    codec = get_codec(codec_name)
+    files = files or CANTERBURY
+    rows = []
+    for name in files:
+        data = load(name)
+        if warmup:  # compile
+            blob = codec.encode(data, **opts)
+            out = codec.decode(blob)
+        enc_t = dec_t = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            blob = codec.encode(data, **opts)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = codec.decode(blob)
+            dec_t = min(dec_t, time.perf_counter() - t0)
+        ok = out == data
+        rows.append({
+            "file": name, "bytes": len(data), "compressed": len(blob),
+            "ratio": len(blob) / len(data),
+            "enc_MBps": len(data) / enc_t / 1e6,
+            "dec_MBps": len(data) / dec_t / 1e6,
+            "roundtrip_ok": bool(ok),
+            "ref_ratio": REF_RATIOS.get(codec_name, {}).get(name),
+        })
+    total = sum(r["bytes"] for r in rows)
+    comp = sum(r["compressed"] for r in rows)
+    agg = {
+        "codec": codec_name,
+        "files": rows,
+        "total_bytes": total,
+        "weighted_ratio": comp / total,
+        "enc_MBps_agg": total / sum(r["bytes"] / r["enc_MBps"] for r in rows),
+        "dec_MBps_agg": total / sum(r["bytes"] / r["dec_MBps"] for r in rows),
+        "all_roundtrip_ok": all(r["roundtrip_ok"] for r in rows),
+    }
+    return agg
+
+
+def markdown_table(agg: dict) -> str:
+    lines = [f"### {agg['codec']}",
+             "| file | ratio | ref ratio | enc MB/s | dec MB/s | ok |",
+             "|---|---|---|---|---|---|"]
+    for r in agg["files"]:
+        ref = f"{r['ref_ratio']:.4f}" if r["ref_ratio"] else "-"
+        lines.append(
+            f"| {r['file']} | {r['ratio']:.4f} | {ref} | "
+            f"{r['enc_MBps']:.1f} | {r['dec_MBps']:.1f} | "
+            f"{'Y' if r['roundtrip_ok'] else 'FAIL'} |")
+    lines.append(
+        f"| **total** | **{agg['weighted_ratio']:.4f}** |  | "
+        f"**{agg['enc_MBps_agg']:.1f}** | **{agg['dec_MBps_agg']:.1f}** | "
+        f"{'Y' if agg['all_roundtrip_ok'] else 'FAIL'} |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="cpprcoder_tpu corpus benchmark")
+    p.add_argument("codecs", nargs="*", default=["static_range"],
+                   help="codec names (see list_codecs())")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--files", nargs="*", default=None)
+    args = p.parse_args(argv)
+    for name in args.codecs:
+        agg = run_codec(name, files=args.files)
+        if args.json:
+            print(json.dumps(agg))
+        else:
+            print(markdown_table(agg))
+
+
+if __name__ == "__main__":
+    main()
