@@ -30,7 +30,6 @@ from cpprcoder_tpu.config import (
     pick_lanes,
 )
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
-from cpprcoder_tpu.models.static_table import exclusive_cumsum
 from cpprcoder_tpu.ops import compaction, rc_common
 from cpprcoder_tpu.reference.rc_ref import _lane_desc, _parse_lane_desc, _write_sizes
 from cpprcoder_tpu.utils.shapes import bucket
@@ -199,7 +198,14 @@ def adaptive_encode_jax(data, lanes: int | None = None, inc: int | None = None,
 @lru_cache(maxsize=64)
 def _static_decode_fn(steps: int, k: int, p_cap: int):
     @jax.jit
-    def run(payload, offsets, ends, freqs, cums, sym_of):
+    def run(payload, sizes, freqs):
+        from cpprcoder_tpu.models.table_jax import exclusive_cumsum_jnp
+
+        cums = exclusive_cumsum_jnp(freqs)
+        sym_of = jnp.repeat(jnp.arange(256, dtype=jnp.uint8), freqs,
+                            total_repeat_length=STATIC_TOTAL)
+        offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
+        ends = offsets + sizes.astype(jnp.int32)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
         code = jnp.zeros(k, U32)
         cursor = offsets
@@ -241,7 +247,9 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
     n_renorm = 2 if limit_log2 <= 16 else 3
 
     @jax.jit
-    def run(payload, offsets, ends, n):
+    def run(payload, sizes, n):
+        offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
+        ends = offsets + sizes.astype(jnp.int32)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
         code = jnp.zeros(k, U32)
         cursor = offsets
@@ -290,14 +298,12 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
 
 
 def _decode_payload_setup(r: ByteReader, k: int, wide: bool):
-    sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int64)
+    sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
     payload = r.rest()
     p_cap = bucket(max(len(payload), 1))
     padded = np.zeros(p_cap, dtype=np.uint8)
     padded[: len(payload)] = payload
-    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1].astype(np.int32)
-    ends = (offsets + sizes).astype(np.int32)
-    return padded, offsets, ends, p_cap
+    return padded, sizes, p_cap
 
 
 def static_decode_jax(blob) -> bytes:
@@ -307,13 +313,10 @@ def static_decode_jax(blob) -> bytes:
     if n == 0:
         return b""
     freqs = r.u16s(256)
-    cums = exclusive_cumsum(freqs)
-    sym_of = np.repeat(np.arange(256, dtype=np.uint8), freqs)
-    payload, offsets, ends, p_cap = _decode_payload_setup(r, k, wide)
+    payload, sizes, p_cap = _decode_payload_setup(r, k, wide)
     steps = bucket(-(-n // k))
     out = _static_decode_fn(steps, k, p_cap)(
-        jnp.asarray(payload), jnp.asarray(offsets), jnp.asarray(ends),
-        jnp.asarray(freqs, U32), jnp.asarray(cums, U32), jnp.asarray(sym_of))
+        jnp.asarray(payload), jnp.asarray(sizes), jnp.asarray(freqs, U32))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()
 
 
@@ -325,8 +328,8 @@ def adaptive_decode_jax(blob) -> bytes:
     limit_log2 = r.u8()
     if n == 0:
         return b""
-    payload, offsets, ends, p_cap = _decode_payload_setup(r, k, wide)
+    payload, sizes, p_cap = _decode_payload_setup(r, k, wide)
     steps = bucket(-(-n // k))
     out = _adaptive_decode_fn(steps, k, inc, limit_log2, p_cap)(
-        jnp.asarray(payload), jnp.asarray(offsets), jnp.asarray(ends), U32(n))
+        jnp.asarray(payload), jnp.asarray(sizes), U32(n))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()

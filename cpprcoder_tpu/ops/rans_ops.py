@@ -1,0 +1,169 @@
+"""JAX K-lane interleaved rANS: CT-ANS1.
+
+TPU design (SURVEY.md §7 phase 3): the 8-state SIMD interleave of
+cppans.h:567-649 generalized to K lanes sharing one u16-word stream.
+Division-free decode; at most one renorm word per symbol per direction.
+Encode scans the input in reverse step order (the rANS backwards-encoding
+trick, cppans.h:497-530); emitted word slots are compacted in forward
+(decoder) order with the same scatter-free searchsorted pass as the range
+coder. Decode reads a variable subset of lanes per step via an intra-step
+exclusive cumsum over read flags + gather at a running stream base.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from cpprcoder_tpu.config import ANS_LOW, ANS_PROB_BITS, ANS_TOTAL, pick_lanes
+from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.reference.rans_ref import _lane_desc
+from cpprcoder_tpu.utils.shapes import bucket
+
+U32 = jnp.uint32
+I32 = jnp.int32
+MASK = ANS_TOTAL - 1
+
+
+def _pad2d(x: np.ndarray, steps: int, k: int) -> np.ndarray:
+    out = np.zeros(steps * k, dtype=np.uint8)
+    out[: len(x)] = x
+    return out.reshape(steps, k)
+
+
+@lru_cache(maxsize=64)
+def _encode_fn(steps: int, k: int):
+    @jax.jit
+    def run(x2d, n):
+        from cpprcoder_tpu.models.table_jax import (
+            exclusive_cumsum_jnp,
+            histogram_masked,
+            normalize_freqs_jnp,
+        )
+
+        counts = histogram_masked(x2d.reshape(-1), n)
+        freqs = normalize_freqs_jnp(counts, n, ANS_PROB_BITS)
+        cums = exclusive_cumsum_jnp(freqs)
+        lane_ids = jnp.arange(k, dtype=U32)
+        xs_rev = x2d[::-1]
+
+        def step(carry, xt):
+            states, rt = carry
+            orig_t = U32(steps - 1) - rt
+            active = (orig_t * k + lane_ids) < n
+            s = xt.astype(I32)
+            f = freqs[s]
+            c = cums[s]
+            emit = active & (states >= (f << 18))
+            word = (states & U32(0xFFFF)).astype(jnp.uint16)
+            st = jnp.where(emit, states >> 16, states)
+            q = st // f
+            r = st - q * f
+            st_new = (q << ANS_PROB_BITS) | (r + c)
+            states = jnp.where(active, st_new, states)
+            return (states, rt + 1), (emit, word)
+
+        init = jnp.full(k, ANS_LOW, U32)
+        (states, _), (emits, words) = lax.scan(step, (init, U32(0)), xs_rev)
+        # scan emitted in reverse-step order; flip to original (t, j) order,
+        # which IS the decoder read order (see FORMATS.md CT-ANS1)
+        emits = emits[::-1].reshape(-1)
+        words = words[::-1].reshape(-1)
+        cnt = emits.astype(I32)
+        pstart = jnp.cumsum(cnt) - cnt
+        n_words = cnt.sum()
+        return states, emits, words, pstart, n_words, freqs
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def _stream_fn(slots: int, cap: int):
+    @jax.jit
+    def run(words, pstart, n_words):
+        positions = jnp.arange(cap, dtype=I32)
+        eid = jnp.clip(jnp.searchsorted(pstart, positions, side="right") - 1, 0)
+        out = jnp.where(positions < n_words, words[eid], jnp.uint16(0))
+        return out
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def _decode_fn(steps: int, k: int, w_cap: int):
+    @jax.jit
+    def run(stream, states, freqs, n):
+        cums_incl = jnp.cumsum(freqs)
+        cum2sym = jnp.repeat(jnp.arange(256, dtype=jnp.uint8), freqs,
+                             total_repeat_length=ANS_TOTAL)
+        lane_ids = jnp.arange(k, dtype=U32)
+
+        def step(carry, _):
+            states, base, t_idx = carry
+            active = (t_idx * k + lane_ids) < n
+            slot = states & U32(MASK)
+            s = cum2sym[slot].astype(I32)
+            f = freqs[s]
+            c = cums_incl[s] - f
+            st = f * (states >> ANS_PROB_BITS) + slot - c
+            need = active & (st < U32(ANS_LOW))
+            offs = jnp.cumsum(need.astype(I32)) - 1
+            idx = jnp.minimum(base + offs, w_cap - 1)
+            w = stream[idx].astype(U32)
+            st = jnp.where(need, (st << 16) | w, st)
+            states = jnp.where(active, st, states)
+            base = base + need.sum().astype(I32)
+            return (states, base, t_idx + 1), s.astype(jnp.uint8)
+
+        init = (states, jnp.zeros((), I32), U32(0))
+        _, out = lax.scan(step, init, None, length=steps)
+        return out
+
+    return run
+
+
+# ------------------------------------------------------------------ wrappers
+
+def rans_encode_jax(data, lanes: int | None = None) -> bytes:
+    x = as_u8(data)
+    n = len(x)
+    k = lanes or pick_lanes(n)
+    if n == 0:
+        return ByteWriter().u32(0).u8(_lane_desc(k)).getvalue()
+    steps = bucket(-(-n // k))
+    fn = _encode_fn(steps, k)
+    states, emits, words, pstart, n_words, freqs = fn(
+        jnp.asarray(_pad2d(x, steps, k)), U32(n))
+    nw = int(n_words)
+    cap = bucket(max(nw, 1))
+    stream = _stream_fn(steps * k, cap)(words, pstart, n_words)
+    w = ByteWriter().u32(n).u8(_lane_desc(k))
+    w.u16s(np.asarray(jax.device_get(freqs)))
+    w.u32s(np.asarray(jax.device_get(states)))
+    w.u32(nw)
+    w.u16s(np.asarray(jax.device_get(stream))[:nw])
+    return w.getvalue()
+
+
+def rans_decode_jax(blob) -> bytes:
+    r = ByteReader(blob)
+    n = r.u32()
+    k = 1 << r.u8()
+    if n == 0:
+        return b""
+    freqs = r.u16s(256)
+    states = r.u32s(k)
+    n_words = r.u32()
+    words = r.u16s(n_words).astype(np.uint16)
+    steps = bucket(-(-n // k))
+    w_cap = bucket(max(n_words, 1))
+    padded = np.zeros(w_cap, np.uint16)
+    padded[:n_words] = words
+    out = _decode_fn(steps, k, w_cap)(
+        jnp.asarray(padded), jnp.asarray(states, U32), jnp.asarray(freqs, U32),
+        U32(n))
+    return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from cpprcoder_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
 CANTERBURY = [
