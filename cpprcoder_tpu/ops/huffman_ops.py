@@ -1,0 +1,142 @@
+"""JAX K-lane canonical Huffman: CT-HUF1.
+
+Encode: lax.scan with per-lane (acc, nbits) bit accumulators emitting ≤ 1
+u16 word per symbol (code length ≤ 15), compacted per lane with the same
+scatter-free searchsorted pass as the other coders. Decode: per-lane bit
+cursors, a 2^15-entry (len<<8|sym) LUT gather, two word gathers per symbol.
+Table construction (package-merge) runs on host — it is O(256·15) scalar
+work on the histogram and never touches device buffers.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from cpprcoder_tpu.config import HUF_MAX_BITS, pick_lanes
+from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models.huffman import build_decoder_lut, build_encoder_table
+from cpprcoder_tpu.reference.huffman_ref import (
+    _lane_desc,
+    pack_nibbles,
+    unpack_nibbles,
+)
+from cpprcoder_tpu.utils.shapes import bucket
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def _pad2d(x: np.ndarray, steps: int, k: int) -> np.ndarray:
+    out = np.zeros(steps * k, dtype=np.uint8)
+    out[: len(x)] = x
+    return out.reshape(steps, k)
+
+
+@lru_cache(maxsize=64)
+def _encode_fn(steps: int, k: int):
+    @jax.jit
+    def run(x2d, n, lengths, codes):
+        lane_ids = jnp.arange(k, dtype=U32)
+
+        def step(carry, xt):
+            acc, nbits, t_idx = carry
+            active = (t_idx * k + lane_ids) < n
+            s = xt.astype(I32)
+            l = jnp.where(active, lengths[s], 0)
+            c = jnp.where(active, codes[s], 0)
+            acc = acc | (c << nbits)
+            nbits = nbits + l
+            emit = nbits >= 16
+            word = (acc & U32(0xFFFF)).astype(jnp.uint16)
+            acc = jnp.where(emit, acc >> 16, acc)
+            nbits = jnp.where(emit, nbits - 16, nbits)
+            return (acc, nbits, t_idx + 1), (emit, word, l)
+
+        init = (jnp.zeros(k, U32), jnp.zeros(k, U32), U32(0))
+        (acc, nbits, _), (emits, words, lens) = lax.scan(step, init, x2d)
+        bitcounts = lens.sum(axis=0)
+        # lane-major event order: [K, steps] + one flush slot per lane
+        emits = jnp.concatenate([emits.T, (nbits > 0)[:, None]], axis=1)
+        words = jnp.concatenate(
+            [words.T, (acc & U32(0xFFFF)).astype(jnp.uint16)[:, None]], axis=1)
+        cnt = emits.reshape(-1).astype(I32)
+        pstart = jnp.cumsum(cnt) - cnt
+        return words.reshape(-1), pstart, cnt.sum(), bitcounts
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def _decode_fn(steps: int, k: int, w_cap: int):
+    @jax.jit
+    def run(words, bases, lut, n):
+        lane_ids = jnp.arange(k, dtype=U32)
+
+        def step(carry, _):
+            curs, t_idx = carry
+            active = (t_idx * k + lane_ids) < n
+            wi = bases + (curs >> 4).astype(I32)
+            w0 = words[jnp.minimum(wi, w_cap - 1)].astype(U32)
+            w1 = words[jnp.minimum(wi + 1, w_cap - 1)].astype(U32)
+            window = ((w0 | (w1 << 16)) >> (curs & 15)) & U32((1 << HUF_MAX_BITS) - 1)
+            v = lut[window].astype(U32)
+            sym = (v & 0xFF).astype(jnp.uint8)
+            curs = curs + jnp.where(active, v >> 8, 0)
+            return (curs, t_idx + 1), sym
+
+        init = (jnp.zeros(k, U32), U32(0))
+        _, out = lax.scan(step, init, None, length=steps)
+        return out
+
+    return run
+
+
+def huffman_encode_jax(data, lanes: int | None = None) -> bytes:
+    x = as_u8(data)
+    n = len(x)
+    k = lanes or pick_lanes(n)
+    if n == 0:
+        return ByteWriter().u32(0).u8(_lane_desc(k)).getvalue()
+    counts = np.bincount(x, minlength=256)
+    lengths, codes = build_encoder_table(counts)
+    steps = bucket(-(-n // k))
+    words, pstart, n_words, bitcounts = _encode_fn(steps, k)(
+        jnp.asarray(_pad2d(x, steps, k)), U32(n),
+        jnp.asarray(lengths, U32), jnp.asarray(codes, U32))
+    nw = int(n_words)
+    cap = bucket(max(nw, 1))
+    from cpprcoder_tpu.ops.rans_ops import _stream_fn
+
+    stream = _stream_fn(steps * k + k, cap)(words, pstart, n_words)
+    w = ByteWriter().u32(n).u8(_lane_desc(k))
+    w.raw(pack_nibbles(lengths).tobytes())
+    w.u32s(np.asarray(jax.device_get(bitcounts)))
+    w.u16s(np.asarray(jax.device_get(stream))[:nw])
+    return w.getvalue()
+
+
+def huffman_decode_jax(blob) -> bytes:
+    r = ByteReader(blob)
+    n = r.u32()
+    k = 1 << r.u8()
+    if n == 0:
+        return b""
+    lengths = unpack_nibbles(r.raw(128))
+    bitcounts = r.u32s(k).astype(np.int64)
+    word_counts = (bitcounts + 15) // 16
+    nw = int(word_counts.sum())
+    words = r.u16s(nw).astype(np.uint16)
+    bases = np.concatenate(([0], np.cumsum(word_counts)))[:-1].astype(np.int32)
+    lut = build_decoder_lut(lengths, HUF_MAX_BITS)
+    steps = bucket(-(-n // k))
+    w_cap = bucket(max(nw, 1))
+    padded = np.zeros(w_cap, np.uint16)
+    padded[:nw] = words
+    out = _decode_fn(steps, k, w_cap)(
+        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(lut, U32), U32(n))
+    return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()
