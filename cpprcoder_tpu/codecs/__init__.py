@@ -82,6 +82,7 @@ def _ensure_loaded():
         rans,
         huffman,
         blocksort,
+        mtf,
         slz4,
         ase,
         pipeline,
