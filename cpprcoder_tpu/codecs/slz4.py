@@ -1,13 +1,23 @@
-"""Placeholder for the slz4 codec (round-1 WIP; see FORMATS.md)."""
+"""CT-LZ4 codec (reference parity: SLZ4, test/slz4.h:116-592 — LZ4 block
+format with exact parallel match-finding instead of a single-probe hash)."""
+
+from __future__ import annotations
 
 from cpprcoder_tpu.codecs import register
+from cpprcoder_tpu.codecs.base import pick_backend
+from cpprcoder_tpu.reference import slz4_ref
 
 
-def encode(data, **opts):
-    raise NotImplementedError("slz4 codec: implementation in progress")
+def encode(data, backend: str | None = None, seg_log2: int = 17) -> bytes:
+    from cpprcoder_tpu.ops import lz_ops
+    fn = pick_backend(backend, lz_ops.slz4_encode_jax, slz4_ref.slz4_encode)
+    return fn(data, seg_log2=seg_log2)
 
 
-def decode(blob, **opts):
-    raise NotImplementedError("slz4 codec: implementation in progress")
+def decode(blob, backend: str | None = None) -> bytes:
+    from cpprcoder_tpu.ops import lz_ops
+    fn = pick_backend(backend, lz_ops.slz4_decode_jax, slz4_ref.slz4_decode)
+    return fn(blob)
+
 
 CODEC = register("slz4", 6, encode, decode)

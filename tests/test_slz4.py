@@ -1,0 +1,50 @@
+"""CT-LZ4 tests: oracle round-trip, LZ4-format validity, JAX identity."""
+
+import numpy as np
+
+from cpprcoder_tpu.ops import lz_ops
+from cpprcoder_tpu.reference import slz4_ref
+
+
+def _cases():
+    rng = np.random.default_rng(9)
+    return [
+        b"a" * 20,
+        b"abcabcabcabc" * 50,
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+        b"\x00" * 70000,
+        bytes(rng.integers(0, 16, 9000, dtype=np.uint8)),
+    ]
+
+
+def test_oracle_roundtrip():
+    for data in _cases() + [b"", b"x", b"xy" * 3]:
+        blob = slz4_ref.slz4_encode(data, seg_log2=12)
+        assert slz4_ref.slz4_decode(blob) == data
+
+
+def test_jax_container_identity():
+    for data in _cases():
+        for sl in (12,):
+            ref = slz4_ref.slz4_encode(data, seg_log2=sl)
+            jx = lz_ops.slz4_encode_jax(data, seg_log2=sl)
+            assert jx == ref
+            assert lz_ops.slz4_decode_jax(jx) == data
+
+
+def test_beats_reference_ratio(fields):
+    blob = slz4_ref.slz4_encode(fields)
+    assert len(blob) / len(fields) <= 0.479283  # BASELINE.md fields.c
+
+
+def test_lz4_rules():
+    # last 5 bytes always literals; offsets nonzero and in range
+    data = b"zxyzxyzxyzxyzxyzxyzxyzxy" * 40
+    blob = slz4_ref.slz4_encode(data, seg_log2=12)
+    from cpprcoder_tpu.core.bytesutil import ByteReader
+
+    r = ByteReader(blob)
+    n = r.u32(); r.u8(); ns = r.u32(); sizes = r.u32s(ns)
+    block = r.raw(int(sizes[0])).tobytes()
+    out = slz4_ref.decode_block(block, min(n, 1 << 12))
+    assert out == data[: len(out)]
