@@ -4,7 +4,7 @@ tests run without TPU hardware (SURVEY.md §4: multi-host testable in CI via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may set axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,12 @@ import pytest  # noqa: E402
 from cpprcoder_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+# this environment's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS; re-force CPU through the config API
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
