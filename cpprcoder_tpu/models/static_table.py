@@ -49,7 +49,8 @@ def normalize_freqs(counts: np.ndarray, total_bits: int) -> np.ndarray:
     f[present & (f == 0)] = 1
     d = total - int(f.sum())
     if d > 0:
-        # stable rank by remainder desc (ties: symbol asc)
+        # stable rank by remainder desc (ties: symbol asc); absent last
+        r = np.where(present, r, -1)
         order = np.argsort(-r, kind="stable")
         rank = np.empty(256, dtype=np.int64)
         rank[order] = np.arange(256)

@@ -49,6 +49,8 @@ def normalize_freqs_jnp(counts, n, total_bits: int):
     d = total - f.sum()
 
     # d > 0 branch: +1 to the d present symbols with largest remainder
+    # (absent symbols ranked last so they never occupy a give slot)
+    r = jnp.where(present, r, -1)
     order_r = jnp.argsort(-r, stable=True)
     rank_r = jnp.zeros(256, I32).at[order_r].set(jnp.arange(256, dtype=I32))
     f_give = f + (present & (rank_r < d)).astype(I32)

@@ -1,0 +1,426 @@
+// Native host-side implementation of the CT-RC1/CT-RC2 container formats
+// (FORMATS.md). Purpose: a fast bit-exact verifier and host fallback codec
+// for the TPU framework — large-input oracle checks (the 128 MiB adaptive
+// stress test mirrors test/main.cpp:1201-1237 of the reference) run here at
+// native speed instead of through the scalar Python oracle.
+//
+// This implements the CT specs (K round-robin lanes, LZMA-style carry
+// pipeline, 2-byte minimal flush, shared batched adaptive model); it is not
+// a copy of the reference C++, whose formats are different.
+//
+// Build: g++ -O2 -shared -fPIC -o libctrc.so ctrc.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr uint32_t kStaticTotalBits = 16;
+constexpr uint32_t kStaticTotal = 1u << kStaticTotalBits;
+
+struct LaneEncoder {
+  uint64_t low = 0;  // bit 32 = pending carry
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  uint64_t cache_size = 1;  // includes initial dummy byte
+  std::vector<uint8_t> out;
+
+  void shift_low() {
+    uint32_t low32 = static_cast<uint32_t>(low);
+    if (low32 < 0xFF000000u || low > 0xFFFFFFFFull) {
+      uint8_t carry = static_cast<uint8_t>(low >> 32);
+      out.push_back(static_cast<uint8_t>(cache + carry));
+      for (uint64_t i = 1; i < cache_size; ++i)
+        out.push_back(static_cast<uint8_t>(0xFFu + carry));
+      cache = static_cast<uint8_t>(low32 >> 24);
+      cache_size = 0;
+    }
+    ++cache_size;
+    low = (static_cast<uint64_t>(low32) << 8) & 0xFFFFFFFFull;
+  }
+
+  void encode(uint32_t cum, uint32_t freq, uint32_t total, uint32_t t) {
+    low += static_cast<uint64_t>(t) * cum;
+    if (cum + freq == total)
+      range -= t * cum;
+    else
+      range = t * freq;
+    while (range < kTop) {
+      shift_low();
+      range <<= 8;
+    }
+  }
+
+  void finish() {
+    low += (0u - static_cast<uint32_t>(low)) & 0xFFFFFFu;
+    shift_low();
+    shift_low();
+  }
+};
+
+struct LaneDecoder {
+  const uint8_t* data;
+  int64_t pos = 0, size = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  void init(const uint8_t* d, int64_t s) {
+    data = d;
+    size = s;
+    pos = 0;
+    for (int i = 0; i < 4; ++i) code = (code << 8) | next();
+  }
+  uint8_t next() { return pos < size ? data[pos++] : 0; }
+  void consume(uint32_t cum, uint32_t freq, uint32_t total, uint32_t t) {
+    code -= t * cum;
+    if (cum + freq == total)
+      range -= t * cum;
+    else
+      range = t * freq;
+    while (range < kTop) {
+      code = (code << 8) | next();
+      range <<= 8;
+    }
+  }
+};
+
+void write_u32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(x & 0xFF);
+  v.push_back((x >> 8) & 0xFF);
+  v.push_back((x >> 16) & 0xFF);
+  v.push_back((x >> 24) & 0xFF);
+}
+
+// normalization per FORMATS.md (prescale to 14 bits + largest remainder)
+void normalize(const int64_t* counts_in, int total_bits, uint32_t* freqs) {
+  int64_t counts[256];
+  int64_t n = 0;
+  for (int i = 0; i < 256; ++i) n += counts_in[i];
+  int shift = 0;
+  {
+    int64_t m = n - 1;
+    int bl = 0;
+    while (m > 0) {
+      ++bl;
+      m >>= 1;
+    }
+    shift = bl > 14 ? bl - 14 : 0;
+  }
+  int64_t nn = 0;
+  for (int i = 0; i < 256; ++i) {
+    counts[i] = counts_in[i] >> shift;
+    if (counts_in[i] > 0 && counts[i] == 0) counts[i] = 1;
+    nn += counts[i];
+  }
+  const int64_t total = 1ll << total_bits;
+  int64_t f[256], r[256];
+  int64_t sum = 0;
+  for (int i = 0; i < 256; ++i) {
+    f[i] = counts[i] * total / nn;
+    r[i] = counts[i] * total % nn;
+    if (counts[i] > 0 && f[i] == 0) f[i] = 1;
+    sum += f[i];
+  }
+  int64_t d = total - sum;
+  if (d > 0) {
+    // rank by remainder desc, symbol asc
+    int order[256];
+    for (int i = 0; i < 256; ++i) order[i] = i;
+    for (int i = 1; i < 256; ++i) {  // stable insertion sort by -r
+      int o = order[i];
+      int j = i;
+      while (j > 0 && r[order[j - 1]] < r[o]) {
+        order[j] = order[j - 1];
+        --j;
+      }
+      order[j] = o;
+    }
+    for (int t = 0; t < 256 && d > 0; ++t) {
+      int s = order[t];
+      if (counts[s] > 0) {
+        ++f[s];
+        --d;
+      }
+    }
+  } else if (d < 0) {
+    int64_t need = -d;
+    int order[256];
+    for (int i = 0; i < 256; ++i) order[i] = i;
+    for (int i = 1; i < 256; ++i) {  // stable insertion sort by -f
+      int o = order[i];
+      int j = i;
+      while (j > 0 && f[order[j - 1]] < f[o]) {
+        order[j] = order[j - 1];
+        --j;
+      }
+      order[j] = o;
+    }
+    for (int t = 0; t < 256 && need > 0; ++t) {
+      int s = order[t];
+      int64_t ex = counts[s] > 0 ? f[s] - 1 : 0;
+      int64_t take = ex < need ? ex : need;
+      f[s] -= take;
+      need -= take;
+    }
+  }
+  for (int i = 0; i < 256; ++i)
+    if (f[i] == total) {
+      --f[i];
+      ++f[(i + 1) % 256];
+    }
+  for (int i = 0; i < 256; ++i) freqs[i] = static_cast<uint32_t>(f[i]);
+}
+
+int64_t assemble(std::vector<uint8_t>& hdr, std::vector<LaneEncoder>& lanes,
+                 uint8_t lane_desc_base, uint8_t* dst, int64_t cap) {
+  uint64_t max_size = 0, total = 0;
+  for (auto& l : lanes) {
+    uint64_t s = l.out.size() - 1;  // drop dummy
+    max_size = s > max_size ? s : max_size;
+    total += s;
+  }
+  bool wide = max_size >= (1u << 16);
+  hdr[4] = lane_desc_base | (wide ? 0x80 : 0);
+  std::vector<uint8_t> sizes;
+  for (auto& l : lanes) {
+    uint32_t s = static_cast<uint32_t>(l.out.size() - 1);
+    sizes.push_back(s & 0xFF);
+    sizes.push_back((s >> 8) & 0xFF);
+    if (wide) {
+      sizes.push_back((s >> 16) & 0xFF);
+      sizes.push_back((s >> 24) & 0xFF);
+    }
+  }
+  int64_t need = hdr.size() + sizes.size() + total;
+  if (need > cap) return -1;
+  uint8_t* p = dst;
+  std::memcpy(p, hdr.data(), hdr.size());
+  p += hdr.size();
+  std::memcpy(p, sizes.data(), sizes.size());
+  p += sizes.size();
+  for (auto& l : lanes) {
+    std::memcpy(p, l.out.data() + 1, l.out.size() - 1);
+    p += l.out.size() - 1;
+  }
+  return need;
+}
+
+int lane_log2(uint32_t k) {
+  int e = 0;
+  while ((1u << e) < k) ++e;
+  return e;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ct_static_encode(const uint8_t* src, int64_t n, uint32_t k,
+                         uint8_t* dst, int64_t cap) {
+  std::vector<uint8_t> hdr;
+  write_u32(hdr, static_cast<uint32_t>(n));
+  hdr.push_back(0);  // lane desc patched by assemble
+  if (n == 0) {
+    if (cap < 5) return -1;
+    std::memcpy(dst, hdr.data(), 5);
+    dst[4] = lane_log2(k);
+    return 5;
+  }
+  int64_t counts[256] = {0};
+  for (int64_t i = 0; i < n; ++i) ++counts[src[i]];
+  uint32_t freqs[256], cums[256];
+  normalize(counts, kStaticTotalBits, freqs);
+  uint32_t c = 0;
+  for (int i = 0; i < 256; ++i) {
+    cums[i] = c;
+    c += freqs[i];
+  }
+  for (int i = 0; i < 256; ++i) {
+    hdr.push_back(freqs[i] & 0xFF);
+    hdr.push_back((freqs[i] >> 8) & 0xFF);
+  }
+  std::vector<LaneEncoder> lanes(k);
+  for (int64_t i = 0; i < n; ++i) {
+    LaneEncoder& e = lanes[i % k];
+    uint8_t s = src[i];
+    e.encode(cums[s], freqs[s], kStaticTotal, e.range >> kStaticTotalBits);
+  }
+  for (auto& l : lanes) l.finish();
+  return assemble(hdr, lanes, lane_log2(k), dst, cap);
+}
+
+int64_t ct_static_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
+                         int64_t cap) {
+  if (src_size < 5) return -1;
+  uint32_t n;
+  std::memcpy(&n, src, 4);
+  if (static_cast<int64_t>(n) > cap) return -1;
+  uint32_t k = 1u << (src[4] & 0x1F);
+  bool wide = src[4] & 0x80;
+  if (n == 0) return 0;
+  const uint8_t* p = src + 5;
+  uint32_t freqs[256], cums[256];
+  for (int i = 0; i < 256; ++i) {
+    freqs[i] = p[0] | (p[1] << 8);
+    p += 2;
+  }
+  uint32_t c = 0;
+  for (int i = 0; i < 256; ++i) {
+    cums[i] = c;
+    c += freqs[i];
+  }
+  std::vector<uint8_t> sym_of(kStaticTotal);
+  {
+    uint32_t pos = 0;
+    for (int s = 0; s < 256; ++s)
+      for (uint32_t j = 0; j < freqs[s]; ++j) sym_of[pos++] = s;
+  }
+  std::vector<int64_t> sizes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    sizes[j] = p[0] | (p[1] << 8);
+    p += 2;
+    if (wide) {
+      sizes[j] |= (static_cast<int64_t>(p[0]) << 16) |
+                  (static_cast<int64_t>(p[1]) << 24);
+      p += 2;
+    }
+  }
+  std::vector<LaneDecoder> lanes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    lanes[j].init(p, sizes[j]);
+    p += sizes[j];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    LaneDecoder& d = lanes[i % k];
+    uint32_t t = d.range >> kStaticTotalBits;
+    uint32_t v = d.code / t;
+    if (v > kStaticTotal - 1) v = kStaticTotal - 1;
+    uint8_t s = sym_of[v];
+    dst[i] = s;
+    d.consume(cums[s], freqs[s], kStaticTotal, t);
+  }
+  return n;
+}
+
+int64_t ct_adaptive_encode(const uint8_t* src, int64_t n, uint32_t k,
+                           uint32_t inc, uint32_t limit_log2, uint8_t* dst,
+                           int64_t cap) {
+  std::vector<uint8_t> hdr;
+  write_u32(hdr, static_cast<uint32_t>(n));
+  hdr.push_back(0);
+  hdr.push_back(static_cast<uint8_t>(inc));
+  hdr.push_back(static_cast<uint8_t>(limit_log2));
+  if (n == 0) {
+    if (cap < 7) return -1;
+    std::memcpy(dst, hdr.data(), 7);
+    dst[4] = lane_log2(k);
+    return 7;
+  }
+  const uint32_t limit = 1u << limit_log2;
+  std::vector<uint32_t> freqs(256, 1), cums(256);
+  uint32_t total = 256;
+  std::vector<LaneEncoder> lanes(k);
+  int64_t steps = (n + k - 1) / k;
+  for (int64_t t = 0; t < steps; ++t) {
+    if (total >= limit) {
+      total = 0;
+      for (int i = 0; i < 256; ++i) {
+        freqs[i] = (freqs[i] >> 1) | 1;
+        total += freqs[i];
+      }
+    }
+    uint32_t cacc = 0;
+    for (int i = 0; i < 256; ++i) {
+      cums[i] = cacc;
+      cacc += freqs[i];
+    }
+    int64_t base = t * k;
+    int64_t active = n - base < static_cast<int64_t>(k) ? n - base : k;
+    for (int64_t j = 0; j < active; ++j) {
+      LaneEncoder& e = lanes[j];
+      uint8_t s = src[base + j];
+      e.encode(cums[s], freqs[s], total, e.range / total);
+    }
+    for (int64_t j = 0; j < active; ++j) freqs[src[base + j]] += inc;
+    total += static_cast<uint32_t>(active) * inc;
+  }
+  for (auto& l : lanes) l.finish();
+  int64_t out = assemble(hdr, lanes, lane_log2(k), dst, cap);
+  return out;
+}
+
+int64_t ct_adaptive_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
+                           int64_t cap) {
+  if (src_size < 7) return -1;
+  uint32_t n;
+  std::memcpy(&n, src, 4);
+  if (static_cast<int64_t>(n) > cap) return -1;
+  uint32_t k = 1u << (src[4] & 0x1F);
+  bool wide = src[4] & 0x80;
+  uint32_t inc = src[5];
+  uint32_t limit = 1u << src[6];
+  if (n == 0) return 0;
+  const uint8_t* p = src + 7;
+  std::vector<int64_t> sizes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    sizes[j] = p[0] | (p[1] << 8);
+    p += 2;
+    if (wide) {
+      sizes[j] |= (static_cast<int64_t>(p[0]) << 16) |
+                  (static_cast<int64_t>(p[1]) << 24);
+      p += 2;
+    }
+  }
+  std::vector<LaneDecoder> lanes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    lanes[j].init(p, sizes[j]);
+    p += sizes[j];
+  }
+  std::vector<uint32_t> freqs(256, 1), cums(257);
+  uint32_t total = 256;
+  int64_t steps = (n + k - 1) / k;
+  for (int64_t t = 0; t < steps; ++t) {
+    if (total >= limit) {
+      total = 0;
+      for (int i = 0; i < 256; ++i) {
+        freqs[i] = (freqs[i] >> 1) | 1;
+        total += freqs[i];
+      }
+    }
+    uint32_t cacc = 0;
+    for (int i = 0; i < 256; ++i) {
+      cums[i] = cacc;
+      cacc += freqs[i];
+    }
+    cums[256] = total;
+    int64_t base = t * k;
+    int64_t active =
+        static_cast<int64_t>(n) - base < static_cast<int64_t>(k)
+            ? static_cast<int64_t>(n) - base
+            : k;
+    for (int64_t j = 0; j < active; ++j) {
+      LaneDecoder& d = lanes[j];
+      uint32_t tt = d.range / total;
+      uint32_t v = d.code / tt;
+      if (v > total - 1) v = total - 1;
+      // binary search: greatest s with cums[s] <= v
+      uint32_t lo = 0, hi = 256;
+      while (lo + 1 < hi) {
+        uint32_t mid = (lo + hi) >> 1;
+        if (cums[mid] <= v)
+          lo = mid;
+        else
+          hi = mid;
+      }
+      dst[base + j] = static_cast<uint8_t>(lo);
+      d.consume(cums[lo], freqs[lo], total, tt);
+    }
+    for (int64_t j = 0; j < active; ++j) freqs[dst[base + j]] += inc;
+    total += static_cast<uint32_t>(active) * inc;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,40 @@
+"""Native (C++/ctypes) codec must be byte-identical to the Python oracle."""
+
+import numpy as np
+import pytest
+
+from cpprcoder_tpu import native
+from cpprcoder_tpu.reference import rc_ref
+from conftest import std_cases
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C++ toolchain")
+
+
+@pytest.mark.parametrize("lanes", [1, 8])
+def test_native_static_identity(lanes):
+    for data in [c for c in std_cases() if c][:6]:
+        assert native.static_encode(data, lanes) == \
+            rc_ref.static_encode(data, lanes=lanes)
+        assert native.static_decode(
+            native.static_encode(data, lanes)) == data
+
+
+@pytest.mark.parametrize("lanes", [1, 8])
+def test_native_adaptive_identity(lanes):
+    for data in [c for c in std_cases() if c][:6]:
+        blob = native.adaptive_encode(data, lanes, 24, 16)
+        assert blob == rc_ref.adaptive_encode(data, lanes=lanes, inc=24,
+                                              limit_log2=16)
+        assert native.adaptive_decode(blob) == data
+
+
+@pytest.mark.slow
+def test_adaptive_stress_128mib():
+    # reference parity: test_adaptive (test/main.cpp:1201-1237) round-trips
+    # 128 MiB of incompressible random bytes
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 256, 128 << 20, dtype=np.uint8)
+    blob = native.adaptive_encode(big, 1024, 4, 18)
+    assert native.adaptive_decode(blob) == big.tobytes()
+    assert len(blob) / len(big) < 1.01
