@@ -86,4 +86,5 @@ def _ensure_loaded():
         slz4,
         ase,
         pipeline,
+        stream,
     )
