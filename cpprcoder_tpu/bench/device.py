@@ -40,6 +40,13 @@ def _time(fn, reps: int) -> float:
     return best
 
 
+@jax.jit
+def _equal_count(a, b):
+    """Device-side verification: number of equal elements (only this scalar
+    crosses the tunnel — bulk d2h is pathologically slow here)."""
+    return (a.reshape(-1) == b.reshape(-1)).sum()
+
+
 def _out_cap(n: int, k: int) -> int:
     # worst-case CT-RC payload: ~n bytes (incompressible) + per-lane flush
     return bucket(n + (n >> 4) + 16 * k + 1024)
@@ -96,9 +103,12 @@ class RCJob:
         self.dec_t = _time(lambda: self.decode_once(self._enc_out), reps)
 
     def finalize(self) -> dict:
+        # device-side verification against the (padded) input; pad symbols
+        # decode to themselves-or-garbage, so compare only the first n
+        eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
+                              self.x2d.reshape(-1)[: self.n]))
+        ok = eq == self.n
         total = int(self._enc_out[2])
-        out = np.asarray(jax.device_get(self._dec_out)).reshape(-1)[: self.n]
-        ok = out.tobytes() == self.data
         comp = total + self.hdr
         self.result = {
             "file": self.name, "codec": f"{self.kind}_range", "bytes": self.n,

@@ -98,15 +98,17 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
         jax.block_until_ready(outs)
         best_dec = min(best_dec, time.perf_counter() - t0)
 
-    # after timing: sizes + verification (d2h poisons dispatch, so last)
+    # after timing: sizes + verification. Both stay device-side (bulk d2h is
+    # pathologically slow over this tunnel); only scalars are fetched.
+    from cpprcoder_tpu.bench.device import _equal_count
+
     comp = sum(comp_size(e) for e in encs)
     ok = True
     if verify:
-        for i, out in enumerate(outs):
-            lo = i * superblock
-            chunk = data[lo: lo + superblock]
-            got = np.asarray(jax.device_get(out)).reshape(-1)[: len(chunk)]
-            if not (got == chunk).all():
+        for (x2d, nn), out in zip(sbs, outs):
+            nb = int(nn)
+            eq = int(_equal_count(out.reshape(-1)[:nb], x2d.reshape(-1)[:nb]))
+            if eq != nb:
                 ok = False
                 break
     return {
