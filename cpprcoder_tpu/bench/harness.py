@@ -11,7 +11,6 @@ import json
 import os
 import time
 
-import numpy as np
 
 CANTERBURY = [
     "alice29.txt", "asyoulik.txt", "cp.html", "fields.c", "grammar.lsp",

@@ -19,7 +19,7 @@ from cpprcoder_tpu.config import (
     adaptive_params_for,
     pick_lanes,
 )
-from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8, to_bytes
+from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
 from cpprcoder_tpu.models.static_table import exclusive_cumsum, normalize_freqs
 
 

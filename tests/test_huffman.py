@@ -3,11 +3,7 @@
 import numpy as np
 import pytest
 
-from cpprcoder_tpu.models.huffman import (
-    build_decoder_lut,
-    build_encoder_table,
-    package_merge_lengths,
-)
+from cpprcoder_tpu.models.huffman import package_merge_lengths
 from cpprcoder_tpu.ops import huffman_ops
 from cpprcoder_tpu.reference import huffman_ref
 from conftest import std_cases
