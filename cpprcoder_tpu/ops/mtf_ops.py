@@ -69,7 +69,9 @@ def _decode_fn(nb: int, b: int, mtf1: bool):
         def step(carry, rt):
             table, prev = carry
             r = rt.astype(I32)
-            sym = jnp.take_along_axis(table, r[:, None], axis=1)[:, 0]
+            # gather-free rank pick: one-hot over 256 positions
+            pos_eq = r[:, None] == jnp.arange(256, dtype=I32)[None, :]
+            sym = jnp.max(jnp.where(pos_eq, table, 0), axis=1)
             table = _update_table(table, sym, r, prev, mtf1)
             return (table, r), sym.astype(jnp.uint8)
 

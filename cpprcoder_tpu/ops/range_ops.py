@@ -53,29 +53,32 @@ def _static_encode_fn(steps: int, k: int):
     @jax.jit
     def run(x2d, n):
         from cpprcoder_tpu.models.table_jax import (
-            exclusive_cumsum_jnp,
             histogram_masked,
             normalize_freqs_jnp,
         )
+        from cpprcoder_tpu.ops.lookup import bulk_lookup256
 
         counts = histogram_masked(x2d.reshape(-1), n)
         freqs = normalize_freqs_jnp(counts, n, STATIC_TOTAL_BITS)
-        cums = exclusive_cumsum_jnp(freqs)
+        cums = jnp.concatenate([jnp.zeros(1, U32), jnp.cumsum(freqs[:255])])
+        # static model → per-symbol (freq, cum) precomputed OUTSIDE the scan
+        # (in-scan gathers cost ~8-16 ns/element on this TPU; see ops.lookup)
+        fc = bulk_lookup256(jnp.stack([freqs, cums], axis=1),
+                            x2d.reshape(-1)).reshape(steps, k, 2)
         st = rc_common.make_state(k)
         lane_ids = jnp.arange(k, dtype=U32)
 
-        def step(carry, xt):
+        def step(carry, fct):
             st, t_idx = carry
-            syms = xt.astype(jnp.int32)
+            f = fct[:, 0]
+            c = fct[:, 1]
             active = (t_idx * k + lane_ids) < n
-            f = freqs[syms]
-            c = cums[syms]
             t = st[2] >> STATIC_TOTAL_BITS
             is_top = (c + f) == U32(STATIC_TOTAL)
             st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active, n_slots)
             return (st, t_idx + 1), evs
 
-        (st, _), evs = lax.scan(step, (st, U32(0)), x2d)
+        (st, _), evs = lax.scan(step, (st, U32(0)), fc)
         flush_evs = rc_common.flush(st)                      # [2, k]
         events = jnp.concatenate(
             [jnp.transpose(evs, (2, 0, 1)).reshape(k, -1),
@@ -95,25 +98,24 @@ def _adaptive_encode_fn(steps: int, k: int, inc: int, limit_log2: int):
     def run(x2d, n):
         st = rc_common.make_state(k)
         lane_ids = jnp.arange(k, dtype=U32)
-        freqs0 = jnp.ones(257, U32)  # bin 256 = dump for inactive lanes
+        freqs0 = jnp.ones(256, U32)
+
+        from cpprcoder_tpu.ops.lookup import find_symbol_of, histogram256
 
         def step(carry, xt):
             st, t_idx, freqs, total = carry
             resc = total >= U32(limit)
             f_resc = (freqs >> 1) | 1
             freqs = jnp.where(resc, f_resc, freqs)
-            total = jnp.where(resc, f_resc[:256].sum(), total)
-            cums = jnp.concatenate(
-                [jnp.zeros(1, U32), jnp.cumsum(freqs[:255])])
+            total = jnp.where(resc, f_resc.sum(), total)
+            cum_incl = jnp.cumsum(freqs)
             syms = xt.astype(jnp.int32)
             active = (t_idx * k + lane_ids) < n
-            f = freqs[syms]
-            c = cums[syms]
+            f, c = find_symbol_of(freqs, cum_incl, syms)
             t = st[2] // total
             is_top = (c + f) == total
             st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active, n_slots)
-            upd = jnp.where(active, syms, 256)
-            freqs = freqs.at[upd].add(U32(inc))
+            freqs = freqs + histogram256(syms, inc, active)
             total = total + U32(inc) * active.sum().astype(U32)
             return (st, t_idx + 1, freqs, total), evs
 
@@ -199,11 +201,9 @@ def adaptive_encode_jax(data, lanes: int | None = None, inc: int | None = None,
 def _static_decode_fn(steps: int, k: int, p_cap: int):
     @jax.jit
     def run(payload, sizes, freqs):
-        from cpprcoder_tpu.models.table_jax import exclusive_cumsum_jnp
+        from cpprcoder_tpu.ops.lookup import find_symbol
 
-        cums = exclusive_cumsum_jnp(freqs)
-        sym_of = jnp.repeat(jnp.arange(256, dtype=jnp.uint8), freqs,
-                            total_repeat_length=STATIC_TOTAL)
+        cum_incl = jnp.cumsum(freqs.astype(U32))
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
         ends = offsets + sizes.astype(jnp.int32)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
@@ -222,9 +222,7 @@ def _static_decode_fn(steps: int, k: int, p_cap: int):
             rng, code, cursor = carry
             t = rng >> STATIC_TOTAL_BITS
             v = jnp.minimum(code // t, U32(STATIC_TOTAL - 1))
-            s = sym_of[v].astype(jnp.int32)
-            f = freqs[s]
-            c = cums[s]
+            s, c, f = find_symbol(cum_incl, v)
             code = code - t * c
             rng = jnp.where((c + f) == U32(STATIC_TOTAL), rng - t * c, t * f)
             for _ in range(2):
@@ -248,13 +246,15 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
 
     @jax.jit
     def run(payload, sizes, n):
+        from cpprcoder_tpu.ops.lookup import find_symbol, histogram256
+
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
         ends = offsets + sizes.astype(jnp.int32)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
         code = jnp.zeros(k, U32)
         cursor = offsets
         lane_ids = jnp.arange(k, dtype=U32)
-        freqs0 = jnp.ones(257, U32)
+        freqs0 = jnp.ones(256, U32)
 
         def read(cursor):
             byte = jnp.where(cursor < ends, payload[jnp.minimum(cursor, p_cap - 1)], 0)
@@ -269,14 +269,12 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
             resc = total >= U32(limit)
             f_resc = (freqs >> 1) | 1
             freqs = jnp.where(resc, f_resc, freqs)
-            total = jnp.where(resc, f_resc[:256].sum(), total)
-            cum_incl = jnp.cumsum(freqs[:256])
+            total = jnp.where(resc, f_resc.sum(), total)
+            cum_incl = jnp.cumsum(freqs)
             active = (t_idx * k + lane_ids) < n
             t = rng // total
             v = jnp.minimum(code // t, total - 1)
-            s = jnp.searchsorted(cum_incl, v, side="right").astype(jnp.int32)
-            f = freqs[s]
-            c = cum_incl[s] - f
+            s, c, f = find_symbol(cum_incl, v)
             code = code - t * c
             rng = jnp.where((c + f) == total, rng - t * c, t * f)
             for _ in range(n_renorm):
@@ -285,8 +283,7 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
                 code = jnp.where(do, (code << 8) | b, code)
                 cursor = jnp.where(do, cur2, cursor)
                 rng = jnp.where(do, rng << 8, rng)
-            upd = jnp.where(active, s, 256)
-            freqs = freqs.at[upd].add(U32(inc))
+            freqs = freqs + histogram256(s, inc, active)
             total = total + U32(inc) * active.sum().astype(U32)
             return (rng, code, cursor, t_idx + 1, freqs, total), s.astype(jnp.uint8)
 

@@ -40,24 +40,25 @@ def _encode_fn(steps: int, k: int):
     @jax.jit
     def run(x2d, n):
         from cpprcoder_tpu.models.table_jax import (
-            exclusive_cumsum_jnp,
             histogram_masked,
             normalize_freqs_jnp,
         )
+        from cpprcoder_tpu.ops.lookup import bulk_lookup256
 
         counts = histogram_masked(x2d.reshape(-1), n)
         freqs = normalize_freqs_jnp(counts, n, ANS_PROB_BITS)
-        cums = exclusive_cumsum_jnp(freqs)
+        cums = jnp.concatenate([jnp.zeros(1, U32), jnp.cumsum(freqs[:255])])
+        fc = bulk_lookup256(jnp.stack([freqs, cums], axis=1),
+                            x2d.reshape(-1)).reshape(steps, k, 2)
         lane_ids = jnp.arange(k, dtype=U32)
-        xs_rev = x2d[::-1]
+        xs_rev = fc[::-1]
 
-        def step(carry, xt):
+        def step(carry, fct):
             states, rt = carry
             orig_t = U32(steps - 1) - rt
             active = (orig_t * k + lane_ids) < n
-            s = xt.astype(I32)
-            f = freqs[s]
-            c = cums[s]
+            f = fct[:, 0]
+            c = fct[:, 1]
             emit = active & (states >= (f << 18))
             word = (states & U32(0xFFFF)).astype(jnp.uint16)
             st = jnp.where(emit, states >> 16, states)
@@ -97,18 +98,16 @@ def _stream_fn(slots: int, cap: int):
 def _decode_fn(steps: int, k: int, w_cap: int):
     @jax.jit
     def run(stream, states, freqs, n):
-        cums_incl = jnp.cumsum(freqs)
-        cum2sym = jnp.repeat(jnp.arange(256, dtype=jnp.uint8), freqs,
-                             total_repeat_length=ANS_TOTAL)
+        from cpprcoder_tpu.ops.lookup import find_symbol
+
+        cum_incl = jnp.cumsum(freqs.astype(U32))
         lane_ids = jnp.arange(k, dtype=U32)
 
         def step(carry, _):
             states, base, t_idx = carry
             active = (t_idx * k + lane_ids) < n
             slot = states & U32(MASK)
-            s = cum2sym[slot].astype(I32)
-            f = freqs[s]
-            c = cums_incl[s] - f
+            s, c, f = find_symbol(cum_incl, slot)
             st = f * (states >> ANS_PROB_BITS) + slot - c
             need = active & (st < U32(ANS_LOW))
             offs = jnp.cumsum(need.astype(I32)) - 1

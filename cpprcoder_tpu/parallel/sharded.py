@@ -39,11 +39,13 @@ def _adaptive_shard_body(x3d_local, n_vec_local, k_global, inc, limit,
     [blocks_local, k_local], shard_total [1]."""
     lane_ax = jax.lax.axis_index("lane").astype(U32)
 
+    from cpprcoder_tpu.ops.lookup import find_symbol_of, histogram256
+
     def encode_one(x2d, n):
         st = tuple(jax.lax.pvary(a, ("data", "lane"))
                    for a in rc_common.make_state(k_local))
         lane_ids = lane_ax * k_local + jnp.arange(k_local, dtype=U32)
-        freqs0 = jax.lax.pvary(jnp.ones(257, U32), ("data",))
+        freqs0 = jax.lax.pvary(jnp.ones(256, U32), ("data",))
         total0 = jax.lax.pvary(U32(256), ("data",))
 
         def step(carry, xt):
@@ -51,21 +53,18 @@ def _adaptive_shard_body(x3d_local, n_vec_local, k_global, inc, limit,
             resc = total >= U32(limit)
             f_resc = (freqs >> 1) | 1
             freqs = jnp.where(resc, f_resc, freqs)
-            total = jnp.where(resc, f_resc[:256].sum(), total)
-            cums = jnp.concatenate([jnp.zeros(1, U32), jnp.cumsum(freqs[:255])])
+            total = jnp.where(resc, f_resc.sum(), total)
+            cum_incl = jnp.cumsum(freqs)
             syms = xt.astype(I32)
             active = (t_idx * k_global + lane_ids) < n
-            f = freqs[syms]
-            c = cums[syms]
+            f, c = find_symbol_of(freqs, cum_incl, syms)
             t = st[2] // total
             is_top = (c + f) == total
             st2, evs = rc_common.encode_symbol(st, t, c, f, is_top, active,
                                                n_slots)
-            upd = jnp.where(active, syms, 256)
-            hist = jnp.zeros(257, U32).at[upd].add(U32(inc))
-            hist = jax.lax.psum(hist, "lane")
+            hist = jax.lax.psum(histogram256(syms, inc, active), "lane")
             freqs = freqs + hist
-            total = total + hist[:256].sum()
+            total = total + hist.sum()
             return (st2, t_idx + 1, freqs, total), evs
 
         (st, _, _, _), evs = lax.scan(step, (st, U32(0), freqs0, total0),
