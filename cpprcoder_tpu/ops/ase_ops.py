@@ -104,16 +104,23 @@ def _decode_fn(steps: int, k: int, w_cap: int):
     entropy = jnp.asarray(ENTROPY, I32)
 
     @jax.jit
-    def run(words, bases, n):
+    def run(words, bases, word_ends, n):
         lane_ids = jnp.arange(k, dtype=U32)
 
+        def refill(win, nbits, wcur):
+            need = nbits <= 16
+            w = jnp.where(wcur < word_ends,
+                          words[jnp.minimum(wcur, w_cap - 1)].astype(U32), 0)
+            win2 = win | (w << nbits)
+            return (jnp.where(need, win2, win),
+                    jnp.where(need, nbits + 16, nbits),
+                    jnp.where(need, wcur + 1, wcur))
+
         def step(carry, _):
-            table, size, bits, curs, t_idx = carry
+            table, size, bits, win, nbits, wcur, t_idx = carry
             active = (t_idx * k + lane_ids) < n
-            wi = bases + (curs >> 4).astype(I32)
-            w0 = words[jnp.minimum(wi, w_cap - 1)].astype(U32)
-            w1 = words[jnp.minimum(wi + 1, w_cap - 1)].astype(U32)
-            window = (w0 | (w1 << 16)) >> (curs & 15)
+            win, nbits, wcur = refill(win, nbits, wcur)
+            window = win
             is_hit = (window & 1) > 0
             d = ((window >> 1) & ((U32(1) << bits.astype(U32)) - 1)).astype(I32)
             lit = ((window >> 1) & 0xFF).astype(I32)
@@ -129,11 +136,15 @@ def _decode_fn(steps: int, k: int, w_cap: int):
             table = jnp.where(active[:, None], table2, table)
             size = jnp.where(active, size2, size)
             bits = jnp.where(active, bits2, bits)
-            curs = curs + jnp.where(active, consumed, 0)
-            return (table, size, bits, curs, t_idx + 1), sym.astype(jnp.uint8)
+            consumed = jnp.where(active, consumed, 0)
+            win = win >> consumed
+            nbits = nbits - consumed
+            return (table, size, bits, win, nbits, wcur, t_idx + 1), \
+                sym.astype(jnp.uint8)
 
         init = (jnp.zeros((k, TABLE_SIZE), I32), jnp.zeros(k, I32),
-                jnp.zeros(k, I32), jnp.zeros(k, U32), U32(0))
+                jnp.zeros(k, I32), jnp.zeros(k, U32), jnp.zeros(k, U32),
+                bases, U32(0))
         _, out = lax.scan(step, init, None, length=steps)
         return out
 
@@ -175,6 +186,8 @@ def ase_decode_jax(blob) -> bytes:
     w_cap = bucket(max(nw, 1))
     padded = np.zeros(w_cap, np.uint16)
     padded[:nw] = words
+    word_ends = (bases + word_counts).astype(np.int32)
     out = _decode_fn(steps, k, w_cap)(
-        jnp.asarray(padded), jnp.asarray(bases), U32(n))
+        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(word_ends),
+        U32(n))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()

@@ -80,24 +80,32 @@ def _encode_fn(steps: int, k: int):
 @lru_cache(maxsize=64)
 def _decode_fn(steps: int, k: int, w_cap: int):
     @jax.jit
-    def run(words, bases, limits, bases_l, perm, n):
+    def run(words, bases, word_ends, limits, bases_l, perm, n):
         """Canonical arithmetic decode, gather-free (no 2^15 LUT gather):
 
         limits[l] (l=1..15): (first_code_of_length_l + count_l) << (15-l),
         i.e. the exclusive upper bound of length-l codes left-aligned in a
         15-bit window; length = first l whose limit exceeds the window.
         bases_l[l]: first_code_l - rank_offset_l; perm[rank] = symbol
-        (symbols sorted by (length, symbol))."""
+        (symbols sorted by (length, symbol)). Stream feeding uses a 32-bit
+        LSB-first bit queue refilled by ONE masked u16 gather per step."""
         lane_ids = jnp.arange(k, dtype=U32)
         lvec = jnp.arange(1, HUF_MAX_BITS + 1, dtype=U32)
 
+        def refill(win, nbits, wcur):
+            need = nbits <= 16
+            w = jnp.where(wcur < word_ends,
+                          words[jnp.minimum(wcur, w_cap - 1)].astype(U32), 0)
+            win2 = win | (w << nbits)
+            return (jnp.where(need, win2, win),
+                    jnp.where(need, nbits + 16, nbits),
+                    jnp.where(need, wcur + 1, wcur))
+
         def step(carry, _):
-            curs, t_idx = carry
+            win, nbits, wcur, t_idx = carry
             active = (t_idx * k + lane_ids) < n
-            wi = bases + (curs >> 4).astype(I32)
-            w0 = words[jnp.minimum(wi, w_cap - 1)].astype(U32)
-            w1 = words[jnp.minimum(wi + 1, w_cap - 1)].astype(U32)
-            window = ((w0 | (w1 << 16)) >> (curs & 15)) & U32((1 << HUF_MAX_BITS) - 1)
+            win, nbits, wcur = refill(win, nbits, wcur)
+            window = win & U32((1 << HUF_MAX_BITS) - 1)
             # bit-reverse the 15-bit LSB-first window → MSB-first code view
             r = window
             r = ((r & U32(0x5555)) << 1) | ((r >> 1) & U32(0x5555))
@@ -112,10 +120,12 @@ def _decode_fn(steps: int, k: int, w_cap: int):
             from cpprcoder_tpu.ops.lookup import onehot_lookup
 
             sym = onehot_lookup(perm, jnp.clip(rank, 0, 255)).astype(jnp.uint8)
-            curs = curs + jnp.where(active, l, 0)
-            return (curs, t_idx + 1), sym
+            consumed = jnp.where(active, l, 0)
+            win = win >> consumed
+            nbits = nbits - consumed
+            return (win, nbits, wcur, t_idx + 1), sym
 
-        init = (jnp.zeros(k, U32), U32(0))
+        init = (jnp.zeros(k, U32), jnp.zeros(k, U32), bases, U32(0))
         _, out = lax.scan(step, init, None, length=steps)
         return out
 
@@ -163,7 +173,9 @@ def huffman_decode_jax(blob) -> bytes:
     w_cap = bucket(max(nw, 1))
     padded = np.zeros(w_cap, np.uint16)
     padded[:nw] = words
+    word_ends = (bases + word_counts).astype(np.int32)
     out = _decode_fn(steps, k, w_cap)(
-        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(limits, U32),
-        jnp.asarray(bases_l, U32), jnp.asarray(perm, U32), U32(n))
+        jnp.asarray(padded), jnp.asarray(bases), jnp.asarray(word_ends),
+        jnp.asarray(limits, U32), jnp.asarray(bases_l, U32),
+        jnp.asarray(perm, U32), U32(n))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()

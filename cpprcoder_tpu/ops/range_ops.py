@@ -197,6 +197,39 @@ def adaptive_encode_jax(data, lanes: int | None = None, inc: int | None = None,
 
 # ------------------------------------------------------------------ decode
 
+def _be_words(payload, p_cap: int):
+    """S[i] = bytes i..i+3 of payload, big-endian packed (zero past end).
+
+    One u32 array so a per-lane refill needs a SINGLE gather for 4 bytes."""
+    b = jnp.concatenate([payload.astype(U32), jnp.zeros(4, U32)])
+    return (b[:p_cap] << 24) | (b[1:p_cap + 1] << 16) | \
+        (b[2:p_cap + 2] << 8) | b[3:p_cap + 3]
+
+
+def _queue_refill(S, q, occ, cur, ends, slots: int, p_cap: int):
+    """Top up per-lane 4-byte queues to occ=4 where occ < slots.
+
+    q: u32 MSB-aligned queue; occ bytes valid; cur = next unbuffered byte
+    (absolute). Bytes past the lane end read as zero (FORMATS.md)."""
+    need = occ < slots
+    word = S[jnp.minimum(cur, p_cap - 1)]
+    keep = jnp.clip(ends - cur, 0, 4).astype(U32)
+    word = jnp.where(keep == 0, U32(0),
+                     word & (U32(0xFFFFFFFF) << ((U32(4) - keep) * 8 % 32)))
+    q2 = q | (word >> (occ * 8))
+    cur2 = cur + (4 - occ).astype(cur.dtype)
+    return (jnp.where(need, q2, q), jnp.where(need, U32(4), occ),
+            jnp.where(need, cur2, cur))
+
+
+def _queue_read(q, occ, do):
+    """Consume one byte where `do`; returns (byte u32, q, occ)."""
+    byte = q >> 24
+    q = jnp.where(do, q << 8, q)
+    occ = occ - do.astype(U32)
+    return byte, q, occ
+
+
 @lru_cache(maxsize=64)
 def _static_decode_fn(steps: int, k: int, p_cap: int):
     @jax.jit
@@ -206,20 +239,20 @@ def _static_decode_fn(steps: int, k: int, p_cap: int):
         cum_incl = jnp.cumsum(freqs.astype(U32))
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
         ends = offsets + sizes.astype(jnp.int32)
+        S = _be_words(payload, p_cap)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
-        code = jnp.zeros(k, U32)
-        cursor = offsets
-
-        def read(cursor):
-            byte = jnp.where(cursor < ends, payload[jnp.minimum(cursor, p_cap - 1)], 0)
-            return byte.astype(U32), cursor + 1
-
-        for _ in range(4):
-            b, cursor = read(cursor)
-            code = (code << 8) | b
+        # preload: code = first 4 bytes (one gather), queue starts empty
+        keep = jnp.clip(sizes.astype(jnp.int32), 0, 4).astype(U32)
+        first = S[jnp.minimum(offsets, p_cap - 1)]
+        code = jnp.where(keep == 0, U32(0),
+                         first & (U32(0xFFFFFFFF) << ((U32(4) - keep) * 8 % 32)))
+        cur = offsets + 4
+        q = jnp.zeros(k, U32)
+        occ = jnp.zeros(k, U32)
 
         def step(carry, _):
-            rng, code, cursor = carry
+            rng, code, q, occ, cur = carry
+            q, occ, cur = _queue_refill(S, q, occ, cur, ends, 2, p_cap)
             t = rng >> STATIC_TOTAL_BITS
             v = jnp.minimum(code // t, U32(STATIC_TOTAL - 1))
             s, c, f = find_symbol(cum_incl, v)
@@ -227,13 +260,12 @@ def _static_decode_fn(steps: int, k: int, p_cap: int):
             rng = jnp.where((c + f) == U32(STATIC_TOTAL), rng - t * c, t * f)
             for _ in range(2):
                 do = rng < U32(rc_common.RC_TOP)
-                b, cur2 = read(cursor)
+                b, q, occ = _queue_read(q, occ, do)
                 code = jnp.where(do, (code << 8) | b, code)
-                cursor = jnp.where(do, cur2, cursor)
                 rng = jnp.where(do, rng << 8, rng)
-            return (rng, code, cursor), s.astype(jnp.uint8)
+            return (rng, code, q, occ, cur), s.astype(jnp.uint8)
 
-        _, out = lax.scan(step, (rng, code, cursor), None, length=steps)
+        _, out = lax.scan(step, (rng, code, q, occ, cur), None, length=steps)
         return out  # [steps, k]
 
     return run
@@ -250,22 +282,21 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
 
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
         ends = offsets + sizes.astype(jnp.int32)
+        S = _be_words(payload, p_cap)
         rng = jnp.full(k, 0xFFFFFFFF, U32)
-        code = jnp.zeros(k, U32)
-        cursor = offsets
         lane_ids = jnp.arange(k, dtype=U32)
         freqs0 = jnp.ones(256, U32)
-
-        def read(cursor):
-            byte = jnp.where(cursor < ends, payload[jnp.minimum(cursor, p_cap - 1)], 0)
-            return byte.astype(U32), cursor + 1
-
-        for _ in range(4):
-            b, cursor = read(cursor)
-            code = (code << 8) | b
+        keep = jnp.clip(sizes.astype(jnp.int32), 0, 4).astype(U32)
+        first = S[jnp.minimum(offsets, p_cap - 1)]
+        code = jnp.where(keep == 0, U32(0),
+                         first & (U32(0xFFFFFFFF) << ((U32(4) - keep) * 8 % 32)))
+        cur = offsets + 4
+        q = jnp.zeros(k, U32)
+        occ = jnp.zeros(k, U32)
 
         def step(carry, _):
-            rng, code, cursor, t_idx, freqs, total = carry
+            rng, code, q, occ, cur, t_idx, freqs, total = carry
+            q, occ, cur = _queue_refill(S, q, occ, cur, ends, n_renorm, p_cap)
             resc = total >= U32(limit)
             f_resc = (freqs >> 1) | 1
             freqs = jnp.where(resc, f_resc, freqs)
@@ -279,16 +310,18 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
             rng = jnp.where((c + f) == total, rng - t * c, t * f)
             for _ in range(n_renorm):
                 do = rng < U32(rc_common.RC_TOP)
-                b, cur2 = read(cursor)
+                b, q2, occ2 = _queue_read(q, occ, do)
+                q, occ = q2, occ2
                 code = jnp.where(do, (code << 8) | b, code)
-                cursor = jnp.where(do, cur2, cursor)
                 rng = jnp.where(do, rng << 8, rng)
             freqs = freqs + histogram256(s, inc, active)
             total = total + U32(inc) * active.sum().astype(U32)
-            return (rng, code, cursor, t_idx + 1, freqs, total), s.astype(jnp.uint8)
+            return (rng, code, q, occ, cur, t_idx + 1, freqs, total), \
+                s.astype(jnp.uint8)
 
         _, out = lax.scan(
-            step, (rng, code, cursor, U32(0), freqs0, U32(256)), None, length=steps)
+            step, (rng, code, q, occ, cur, U32(0), freqs0, U32(256)),
+            None, length=steps)
         return out
 
     return run
