@@ -28,7 +28,7 @@ def main():
     from cpprcoder_tpu.bench.device import bench_corpus
     from cpprcoder_tpu.bench.harness import REF_RATIOS
 
-    rows = bench_corpus(kinds=("adaptive", "static"), reps=5)
+    rows = bench_corpus(kinds=("adaptive", "static"))
     adaptive = [r for r in rows if r["codec"] == "adaptive_range"]
     all_ok = all(r["roundtrip_ok"] for r in rows)
     total = sum(r["bytes"] for r in adaptive)

@@ -85,6 +85,7 @@ def _ensure_loaded():
         mtf,
         slz4,
         ase,
+        adaptive_o1,
         pipeline,
         stream,
     )
