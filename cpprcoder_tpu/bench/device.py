@@ -87,7 +87,7 @@ class RCJob:
             self._dec_out = self.dec(self._enc_out[0], self._enc_out[1],
                                      self.nn)
 
-    def run(self, reps_hi: int = 4):
+    def run(self, reps_hi: int = 2):
         self.enc_t = measure(self._enc_body, 1, reps_hi)
         self.dec_t = measure(self._dec_body, 1, reps_hi)
 
@@ -105,7 +105,7 @@ class RCJob:
         }
 
 
-def bench_corpus(kinds=("static", "adaptive"), files=None, reps_hi: int = 4,
+def bench_corpus(kinds=("static", "adaptive"), files=None, reps_hi: int = 2,
                  load=None) -> list[dict]:
     from cpprcoder_tpu.bench.harness import CANTERBURY
     from cpprcoder_tpu.bench.harness import load as _load
