@@ -10,6 +10,11 @@ Codec ids (stable, used by CT-PIPE containers):
     6 slz4           CT-LZ4
     7 ase            CT-ASE1
     8 mtf1           CT-MTF1 (MTF-1 variant)
+    9 pipeline       CT-PIPE
+   10 stream         CT-SB
+   11 adaptive_o1    CT-RC3
+   12 rle0           CT-RLE0
+   13 adaptive_rans  CT-ANS2
 """
 
 from __future__ import annotations
@@ -86,6 +91,8 @@ def _ensure_loaded():
         slz4,
         ase,
         adaptive_o1,
+        adaptive_rans,
+        rle0,
         pipeline,
         stream,
     )

@@ -12,14 +12,19 @@ from cpprcoder_tpu.codecs import get_codec, get_codec_by_id, register
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter
 
 
-def pipeline_encode(data, stages: list[str] | None = None, backend=None,
+def pipeline_encode(data, stages: list | None = None, backend=None,
                     **opts) -> bytes:
-    stages = stages or ["blocksort", "mtf1", "adaptive_range"]
+    """Each stage is a codec name or a (name, encode_opts_dict) pair —
+    encode-side options only; every CT container is self-describing, so
+    decode needs just the codec ids."""
+    stages = stages or [("blocksort", {"block_log2": 19}), "mtf1", "rle0",
+                        "adaptive_range"]
     buf = data
     ids = []
-    for name in stages:
+    for stage in stages:
+        name, stage_opts = stage if isinstance(stage, tuple) else (stage, {})
         codec = get_codec(name)
-        buf = codec.encode(buf, backend=backend)
+        buf = codec.encode(buf, backend=backend, **stage_opts)
         ids.append(codec.codec_id)
     w = ByteWriter().u8(len(ids))
     for i in ids:

@@ -8,10 +8,11 @@ from cpprcoder_tpu.codecs.base import pick_backend
 from cpprcoder_tpu.reference import slz4_ref
 
 
-def encode(data, backend: str | None = None, seg_log2: int = 17) -> bytes:
+def encode(data, backend: str | None = None, seg_log2: int = 17,
+           lazy: bool = True) -> bytes:
     from cpprcoder_tpu.ops import lz_ops
     fn = pick_backend(backend, lz_ops.slz4_encode_jax, slz4_ref.slz4_encode)
-    return fn(data, seg_log2=seg_log2)
+    return fn(data, seg_log2=seg_log2, lazy=lazy)
 
 
 def decode(blob, backend: str | None = None) -> bytes:

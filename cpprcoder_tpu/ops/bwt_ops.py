@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.reference import bwt_ref
 
 I32 = jnp.int32
 
@@ -74,37 +75,49 @@ def _inverse_fn(nb: int, b: int):
     return run
 
 
+def _size_groups(sizes: list[int]):
+    """Consecutive equal-size runs: [(size, count), ...] in stream order.
+    The CT-BWT1 layout is [bs]*nb + strictly-decreasing tail powers, so
+    each group is one batched device call."""
+    groups = []
+    for bs in sizes:
+        if groups and groups[-1][0] == bs:
+            groups[-1][1] += 1
+        else:
+            groups.append([bs, 1])
+    return groups
+
+
 def bwt_encode_jax(data, block_log2: int = 15) -> bytes:
     x = as_u8(data)
     n = len(x)
-    bs = 1 << block_log2
     w = ByteWriter().u32(n).u8(block_log2)
-    nb = n // bs
-    if nb > 0:
-        blocks = x[: nb * bs].reshape(nb, bs)
-        last, rows = _forward_fn(nb, bs)(jnp.asarray(blocks))
+    sizes, rem = bwt_ref.block_layout(n, block_log2)
+    off = 0
+    for bs, cnt in _size_groups(sizes):
+        blocks = x[off: off + cnt * bs].reshape(cnt, bs)
+        last, rows = _forward_fn(cnt, bs)(jnp.asarray(blocks))
         last = np.asarray(jax.device_get(last))
         rows = np.asarray(jax.device_get(rows))
-        for i in range(nb):
+        for i in range(cnt):
             w.raw(last[i].tobytes()).u32(int(rows[i]))
-    w.raw(x[nb * bs:].tobytes())
+        off += cnt * bs
+    w.raw(x[n - rem:].tobytes())
     return w.getvalue()
 
 
 def bwt_decode_jax(blob) -> bytes:
     r = ByteReader(blob)
     n = r.u32()
-    block_log2 = r.u8()
-    bs = 1 << block_log2
-    nb = n // bs
+    sizes, rem = bwt_ref.block_layout(n, r.u8())
     out = bytearray()
-    if nb > 0:
-        lasts = np.empty((nb, bs), np.uint8)
-        rows = np.empty(nb, np.uint32)
-        for i in range(nb):
+    for bs, cnt in _size_groups(sizes):
+        lasts = np.empty((cnt, bs), np.uint8)
+        rows = np.empty(cnt, np.uint32)
+        for i in range(cnt):
             lasts[i] = r.raw(bs)
             rows[i] = r.u32()
-        orig = _inverse_fn(nb, bs)(jnp.asarray(lasts), jnp.asarray(rows))
+        orig = _inverse_fn(cnt, bs)(jnp.asarray(lasts), jnp.asarray(rows))
         out += np.asarray(jax.device_get(orig)).tobytes()
-    out += r.raw(n - nb * bs).tobytes()
+    out += r.raw(rem).tobytes()
     return bytes(out)

@@ -45,7 +45,11 @@ def bulk_lookup256(tables_u32, syms_u8, chunk: int = 1 << 15):
 
     def one(carry, row):
         oh = (row.astype(I32)[:, None] == _iota256()[None, :]).astype(F32)
-        return carry, jnp.dot(oh, tf, preferred_element_type=F32)
+        # HIGHEST precision is required: the TPU MXU's default f32 matmul
+        # truncates inputs to bf16 (8-bit mantissa), silently rounding table
+        # values ≥ 2^8 — bf16x3 passes keep integers < 2^24 exact
+        return carry, jnp.dot(oh, tf, preferred_element_type=F32,
+                              precision=lax.Precision.HIGHEST)
 
     _, out = lax.scan(one, 0, syms)
     return out.reshape(-1, m)[:n].astype(U32)

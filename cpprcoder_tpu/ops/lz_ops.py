@@ -100,7 +100,7 @@ def _lcp(ranks, cand, lens):
 
 
 @lru_cache(maxsize=16)
-def _parse_fn(nseg: int, s: int, t_cap: int):
+def _parse_fn(nseg: int, s: int, t_cap: int, lazy: bool = True):
     log_s = max(1, (s - 1).bit_length())
 
     @jax.jit
@@ -113,6 +113,14 @@ def _parse_fn(nseg: int, s: int, t_cap: int):
         valid = ((cand >= 0) & (pos - cand <= MAX_DISTANCE)
                  & (lcp >= MIN_MATCH) & (pos <= ll - LAST_MATCH_GUARD))
         mlen = jnp.minimum(lcp, ll - END_LITERALS - pos)
+        if lazy:
+            # 1-step lazy: defer when the next position matches longer
+            # (position-local rule — identical in the oracle parse)
+            nxt_valid = jnp.concatenate(
+                [valid[:, 1:], jnp.zeros((nseg, 1), jnp.bool_)], axis=1)
+            nxt_mlen = jnp.concatenate(
+                [mlen[:, 1:], jnp.zeros((nseg, 1), I32)], axis=1)
+            valid = valid & ~(nxt_valid & (nxt_mlen > mlen))
         step = jnp.where(valid, mlen, 1)
         nxt = jnp.minimum(pos + step, s)
 
@@ -338,7 +346,7 @@ def _t_cap(s: int) -> int:
     return s // 4 + 2
 
 
-def slz4_encode_jax(data, seg_log2: int = 17) -> bytes:
+def slz4_encode_jax(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
     x = as_u8(data)
     n = len(x)
     s = 1 << seg_log2
@@ -351,7 +359,7 @@ def slz4_encode_jax(data, seg_log2: int = 17) -> bytes:
     blocks.reshape(-1)[:n] = x
     lens = np.minimum(s, n - np.arange(n_segs) * s).astype(np.int32)
     t_cap = _t_cap(s)
-    parse = _parse_fn(n_segs, s, t_cap)
+    parse = _parse_fn(n_segs, s, t_cap, lazy)
     mpos, m_len, m_off, lit_start, n_match = parse(
         jnp.asarray(blocks), jnp.asarray(lens))
     out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024

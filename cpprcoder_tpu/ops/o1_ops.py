@@ -64,7 +64,10 @@ def _model_step(t1, rowtot, t0, tot0, ctx, syms, active, inc, limit1, limit0,
     tot0 = jnp.where(resc0, t0.sum(), tot0)
 
     oh_ctx = (ctx[:, None] == _iota()[None, :]).astype(F32)
-    m1 = jnp.dot(oh_ctx, t1.astype(F32), preferred_element_type=F32)  # [K,256]
+    # HIGHEST: TPU's default f32 matmul truncates inputs to bf16, rounding
+    # table values ≥ 2^8; bf16x3 keeps integers < 2^24 exact
+    m1 = jnp.dot(oh_ctx, t1.astype(F32), preferred_element_type=F32,
+                 precision=jax.lax.Precision.HIGHEST)  # [K,256]
     cum1 = jnp.cumsum(m1, axis=1)                    # inclusive, f32 exact
     row_tot_l = cum1[:, -1]
     c0_incl = jnp.cumsum(t0)
@@ -77,7 +80,7 @@ def _model_step(t1, rowtot, t0, tot0, ctx, syms, active, inc, limit1, limit0,
 def _model_update(t1, rowtot, t0, tot0, ctx, syms, active, inc):
     oh_ctx = ((ctx[:, None] == _iota()[None, :]) & active[:, None]).astype(F32)
     oh_sym = ((syms[:, None] == _iota()[None, :]) & active[:, None]).astype(F32)
-    upd = jnp.dot(oh_ctx.T, oh_sym, preferred_element_type=F32)
+    upd = jnp.dot(oh_ctx.T, oh_sym, preferred_element_type=F32)  # 0/1 operands are bf16-exact; f32 accumulation is exact below 2^24
     t1 = t1 + upd.astype(U32) * U32(inc)
     rowtot = rowtot + oh_ctx.sum(axis=0).astype(U32) * U32(inc)
     t0 = t0 + oh_sym.sum(axis=0).astype(U32) * U32(inc)

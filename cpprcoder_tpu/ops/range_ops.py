@@ -30,6 +30,7 @@ from cpprcoder_tpu.config import (
     pick_lanes,
 )
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models import freq_header
 from cpprcoder_tpu.ops import compaction, rc_common
 from cpprcoder_tpu.reference.rc_ref import _lane_desc, _parse_lane_desc, _write_sizes
 from cpprcoder_tpu.utils.shapes import bucket
@@ -168,7 +169,8 @@ def static_encode_jax(data, lanes: int | None = None) -> bytes:
     phase1 = lambda x2d: fn(x2d, U32(n))
 
     def header(wide, freqs):
-        return ByteWriter().u32(n).u8(_lane_desc(k, wide)).u16s(freqs)
+        return (ByteWriter().u32(n).u8(_lane_desc(k, wide))
+                .raw(freq_header.pack_freqs(freqs)))
 
     return _encode_container(x, k, phase1, header)
 
@@ -342,7 +344,7 @@ def static_decode_jax(blob) -> bytes:
     k, wide = _parse_lane_desc(r.u8())
     if n == 0:
         return b""
-    freqs = r.u16s(256)
+    freqs = freq_header.read_freqs(r, STATIC_TOTAL)
     payload, sizes, p_cap = _decode_payload_setup(r, k, wide)
     steps = bucket(-(-n // k))
     out = _static_decode_fn(steps, k, p_cap)(

@@ -21,6 +21,7 @@ import numpy as np
 
 from cpprcoder_tpu.config import ANS_LOW, ANS_PROB_BITS, ANS_TOTAL, pick_lanes
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models import freq_header
 from cpprcoder_tpu.reference.rans_ref import _lane_desc
 from cpprcoder_tpu.utils.shapes import bucket
 
@@ -141,7 +142,7 @@ def rans_encode_jax(data, lanes: int | None = None) -> bytes:
     cap = bucket(max(nw, 1))
     stream = _stream_fn(steps * k, cap)(words, pstart, n_words)
     w = ByteWriter().u32(n).u8(_lane_desc(k))
-    w.u16s(np.asarray(jax.device_get(freqs)))
+    w.raw(freq_header.pack_freqs(np.asarray(jax.device_get(freqs))))
     w.u32s(np.asarray(jax.device_get(states)))
     w.u32(nw)
     w.u16s(np.asarray(jax.device_get(stream))[:nw])
@@ -154,7 +155,7 @@ def rans_decode_jax(blob) -> bytes:
     k = 1 << r.u8()
     if n == 0:
         return b""
-    freqs = r.u16s(256)
+    freqs = freq_header.read_freqs(r, 1 << ANS_PROB_BITS)
     states = r.u32s(k)
     n_words = r.u32()
     words = r.u16s(n_words).astype(np.uint16)

@@ -13,6 +13,25 @@ import numpy as np
 
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
 
+MIN_TAIL_LOG2 = 8  # smallest tail sub-block (256 B); below this: raw
+
+
+def block_layout(n: int, block_log2: int) -> tuple[list[int], int]:
+    """CT-BWT1 block layout: n//2^block_log2 full blocks, then the tail is
+    binary-decomposed into power-of-two sub-blocks down to 2^MIN_TAIL_LOG2
+    (so files smaller than one block still get transformed — unlike the
+    reference, which stores any partial block raw, blksort.h:435-441).
+    Returns (block sizes in stream order, raw remainder byte count)."""
+    bs = 1 << block_log2
+    nb = n // bs
+    t = n - nb * bs
+    sizes = [bs] * nb
+    for j in range(block_log2 - 1, MIN_TAIL_LOG2 - 1, -1):
+        if t & (1 << j):
+            sizes.append(1 << j)
+            t -= 1 << j
+    return sizes, t
+
 
 def bwt_forward_block(block: np.ndarray) -> tuple[np.ndarray, int]:
     """Return (last_column, row_index) for one block (cyclic rotations)."""
@@ -55,25 +74,25 @@ def bwt_inverse_block(last: np.ndarray, row: int) -> np.ndarray:
 def bwt_encode(data, block_log2: int = 15) -> bytes:
     x = as_u8(data)
     n = len(x)
-    bs = 1 << block_log2
     w = ByteWriter().u32(n).u8(block_log2)
-    nb = n // bs
-    for i in range(nb):
-        last, row = bwt_forward_block(x[i * bs:(i + 1) * bs])
+    sizes, rem = block_layout(n, block_log2)
+    off = 0
+    for bs in sizes:
+        last, row = bwt_forward_block(x[off:off + bs])
         w.raw(last.tobytes()).u32(row)
-    w.raw(x[nb * bs:].tobytes())
+        off += bs
+    w.raw(x[n - rem:].tobytes())
     return w.getvalue()
 
 
 def bwt_decode(blob) -> bytes:
     r = ByteReader(blob)
     n = r.u32()
-    bs = 1 << r.u8()
-    nb = n // bs
+    sizes, rem = block_layout(n, r.u8())
     out = bytearray()
-    for _ in range(nb):
+    for bs in sizes:
         last = r.raw(bs)
         row = r.u32()
         out += bwt_inverse_block(last, row).tobytes()
-    out += r.raw(n - nb * bs).tobytes()
+    out += r.raw(rem).tobytes()
     return bytes(out)

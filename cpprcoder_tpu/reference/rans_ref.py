@@ -14,6 +14,7 @@ import numpy as np
 
 from cpprcoder_tpu.config import ANS_LOW, ANS_PROB_BITS, ANS_TOTAL, pick_lanes
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models.freq_header import pack_freqs, read_freqs
 from cpprcoder_tpu.models.static_table import exclusive_cumsum, normalize_freqs
 
 MASK = ANS_TOTAL - 1
@@ -46,7 +47,7 @@ def rans_encode(data, lanes: int | None = None) -> bytes:
             st >>= 16
         states[j] = ((st // f) << ANS_PROB_BITS) | ((st % f) + c)
     words = emitted[::-1]            # decoder read order
-    w.u8(_lane_desc(k)).u16s(freqs)
+    w.u8(_lane_desc(k)).raw(pack_freqs(freqs))
     w.u32s(states)
     w.u32(len(words))
     w.u16s(words)
@@ -59,7 +60,7 @@ def rans_decode(blob) -> bytes:
     k = 1 << r.u8()
     if n == 0:
         return b""
-    freqs = r.u16s(256)
+    freqs = read_freqs(r, ANS_TOTAL)
     cums = exclusive_cumsum(freqs)
     states = [int(v) for v in r.u32s(k)]
     n_words = r.u32()

@@ -20,6 +20,7 @@ from cpprcoder_tpu.config import (
     pick_lanes,
 )
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models.freq_header import pack_freqs, read_freqs
 from cpprcoder_tpu.models.static_table import exclusive_cumsum, normalize_freqs
 
 
@@ -127,7 +128,7 @@ def static_encode(data, lanes: int | None = None) -> bytes:
     payloads = [e.finish() for e in encs]
     sizes = [len(p) for p in payloads]
     wide = max(sizes) >= 1 << 16
-    w.u8(_lane_desc(k, wide)).u16s(freqs)
+    w.u8(_lane_desc(k, wide)).raw(pack_freqs(freqs))
     _write_sizes(w, sizes, wide)
     for p in payloads:
         w.raw(p)
@@ -140,7 +141,7 @@ def static_decode(blob) -> bytes:
     k, wide = _parse_lane_desc(r.u8())
     if n == 0:
         return b""
-    freqs = r.u16s(256)
+    freqs = read_freqs(r, STATIC_TOTAL)
     cums = exclusive_cumsum(freqs)
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int64)
     payload = r.rest()

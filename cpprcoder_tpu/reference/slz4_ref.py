@@ -8,6 +8,8 @@ implement identically:
   valid(i)  ⟺  c(i) exists ∧ i-c(i) ≤ 65535 ∧ lcp(i,c(i)) ≥ 4 ∧ i ≤ L-12
   mlen(i)   = min(lcp(i, c(i)), LCP_CAP, L - 5 - i)
   greedy: from pos 0, take the match if valid else advance one literal.
+  lazy (default): at a valid i, defer by one literal when valid(i+1) and
+  mlen(i+1) > mlen(i) — a position-local rule, so it stays data-parallel.
 
 LCP_CAP = 4096 bounds the rank-doubling depth on device (longer repeats
 chain through consecutive capped matches at ~6 bytes per 4 KiB — negligible).
@@ -32,10 +34,9 @@ LAST_MATCH_GUARD = 12
 LCP_CAP = 4096
 
 
-def parse_segment(seg: np.ndarray) -> list[tuple[int, int, int]]:
-    """Greedy parse per spec. Returns tokens (lit_start, lit_len, match_len,
-    offset) encoded as list of (lit_start, lit_len, match_len, offset);
-    final token has match_len == 0."""
+def parse_segment(seg: np.ndarray, lazy: bool = True):
+    """Parse per spec. Returns tokens as a list of
+    (lit_start, lit_len, match_len, offset); final token has match_len == 0."""
     L = len(seg)
     tokens = []
     last: dict[bytes, int] = {}
@@ -52,23 +53,30 @@ def parse_segment(seg: np.ndarray) -> list[tuple[int, int, int]]:
             last[bs[next_to_index:next_to_index + MIN_MATCH]] = next_to_index
             next_to_index += 1
 
+    def match_at(p):
+        """(mlen, offset) of the valid match at p, or (0, 0)."""
+        if p > L - LAST_MATCH_GUARD:
+            return 0, 0
+        index_up_to(p)
+        j = last.get(bs[p:p + MIN_MATCH])
+        if j is None or p - j > MAX_DISTANCE:
+            return 0, 0
+        lcp = 0
+        while p + lcp < L and lcp < LCP_CAP and bs[j + lcp] == bs[p + lcp]:
+            lcp += 1
+        if lcp < MIN_MATCH:
+            return 0, 0
+        return min(lcp, L - END_LITERALS - p), p - j
+
     while i < L:
-        took = False
-        if i <= L - LAST_MATCH_GUARD:
-            index_up_to(i)
-            key = bs[i:i + MIN_MATCH]
-            j = last.get(key)
-            if j is not None and i - j <= MAX_DISTANCE:
-                lcp = 0
-                while i + lcp < L and lcp < LCP_CAP and bs[j + lcp] == bs[i + lcp]:
-                    lcp += 1
-                if lcp >= MIN_MATCH:
-                    mlen = min(lcp, L - END_LITERALS - i)
-                    tokens.append((lit_start, i - lit_start, mlen, i - j))
-                    i += mlen
-                    lit_start = i
-                    took = True
-        if not took:
+        mlen, off = match_at(i)
+        if mlen and lazy and match_at(i + 1)[0] > mlen:
+            mlen = 0  # defer: emit one literal, re-decide at i+1
+        if mlen:
+            tokens.append((lit_start, i - lit_start, mlen, off))
+            i += mlen
+            lit_start = i
+        else:
             i += 1
     tokens.append((lit_start, L - lit_start, 0, 0))
     return tokens
@@ -141,7 +149,7 @@ def decode_block(block: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def slz4_encode(data, seg_log2: int = 17) -> bytes:
+def slz4_encode(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
     x = as_u8(data)
     n = len(x)
     s = 1 << seg_log2
@@ -151,7 +159,7 @@ def slz4_encode(data, seg_log2: int = 17) -> bytes:
     blocks = []
     for i in range(n_segs):
         seg = x[i * s:(i + 1) * s]
-        blocks.append(serialize_tokens(seg, parse_segment(seg)))
+        blocks.append(serialize_tokens(seg, parse_segment(seg, lazy)))
     w.u32s([len(b) for b in blocks])
     for b in blocks:
         w.raw(b)

@@ -47,6 +47,23 @@ def test_mtf_jax_identity(mtf1):
         assert mtf_ops.mtf_decode_jax(jx) == data
 
 
+def test_bwt_tail_decomposition():
+    # 5000 = 4096 + 512 + 256 + 136raw at block_log2=15 (no full blocks)
+    from cpprcoder_tpu.reference.bwt_ref import block_layout
+
+    assert block_layout(5000, 15) == ([4096, 512, 256], 136)
+    assert block_layout(32768 * 2 + 300, 15) == ([32768, 32768, 256], 44)
+    assert block_layout(100, 15) == ([], 100)
+    rng = np.random.default_rng(11)
+    data = (b"tobeornottobe" * 400)[:5000] + bytes(
+        rng.integers(0, 256, 77, dtype=np.uint8))
+    ref = bwt_ref.bwt_encode(data, block_log2=15)
+    jx = bwt_ops.bwt_encode_jax(data, block_log2=15)
+    assert jx == ref
+    assert bwt_ops.bwt_decode_jax(jx) == data
+    assert bwt_ref.bwt_decode(ref) == data
+
+
 def test_pipeline_config4(grammar):
     from cpprcoder_tpu.codecs.pipeline import pipeline_decode, pipeline_encode
 
