@@ -93,6 +93,90 @@ def run_codec(codec_name: str, files=None, repeats: int = 3,
     return agg
 
 
+_EXTERNAL = {}
+
+
+def _register_external():
+    """Host baseline compressors for comparison rows (the reference harness
+    cross-checks zlib/LZ4/zstd, test/main.cpp:130-251; this environment
+    ships zlib/bz2/lzma — absent libs are skipped, like the reference's
+    UNIX build which links only z, CMakeLists.txt:55)."""
+    if _EXTERNAL:
+        return
+    import zlib
+
+    _EXTERNAL["zlib"] = (lambda d: zlib.compress(d, 6), zlib.decompress)
+    try:
+        import bz2
+
+        _EXTERNAL["bzip2"] = (lambda d: bz2.compress(d, 9), bz2.decompress)
+    except ImportError:
+        pass
+    try:
+        import lzma
+
+        _EXTERNAL["xz"] = (
+            lambda d: lzma.compress(d, preset=6), lzma.decompress)
+    except ImportError:
+        pass
+    try:
+        import lz4.block as lz4b  # not in this image; kept for parity
+
+        _EXTERNAL["lz4"] = (
+            lambda d: lz4b.compress(d, store_size=True), lz4b.decompress)
+    except ImportError:
+        pass
+    try:
+        import zstandard as zstd
+
+        _EXTERNAL["zstd"] = (
+            lambda d: zstd.ZstdCompressor().compress(d),
+            lambda b: zstd.ZstdDecompressor().decompress(b))
+    except ImportError:
+        pass
+
+
+def external_names() -> list[str]:
+    _register_external()
+    return sorted(_EXTERNAL)
+
+
+def run_external(name: str, files=None, repeats: int = 3) -> dict:
+    """Baseline comparison rows, same shape as run_codec output."""
+    _register_external()
+    enc, dec = _EXTERNAL[name]
+    files = files or CANTERBURY
+    rows = []
+    for fname in files:
+        data = load(fname)
+        enc_t = dec_t = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            blob = enc(data)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = dec(blob)
+            dec_t = min(dec_t, time.perf_counter() - t0)
+        rows.append({
+            "file": fname, "bytes": len(data), "compressed": len(blob),
+            "ratio": len(blob) / len(data),
+            "enc_MBps": len(data) / enc_t / 1e6,
+            "dec_MBps": len(data) / dec_t / 1e6,
+            "roundtrip_ok": bool(out == data),
+            "ref_ratio": None,
+        })
+    total = sum(r["bytes"] for r in rows)
+    return {
+        "codec": name,
+        "files": rows,
+        "total_bytes": total,
+        "weighted_ratio": sum(r["compressed"] for r in rows) / total,
+        "enc_MBps_agg": total / sum(r["bytes"] / r["enc_MBps"] for r in rows),
+        "dec_MBps_agg": total / sum(r["bytes"] / r["dec_MBps"] for r in rows),
+        "all_roundtrip_ok": all(r["roundtrip_ok"] for r in rows),
+    }
+
+
 def markdown_table(agg: dict) -> str:
     lines = [f"### {agg['codec']}",
              "| file | ratio | ref ratio | enc MB/s | dec MB/s | ok |",
@@ -120,7 +204,10 @@ def main(argv=None):
     p.add_argument("--files", nargs="*", default=None)
     args = p.parse_args(argv)
     for name in args.codecs:
-        agg = run_codec(name, files=args.files)
+        if name in external_names():
+            agg = run_external(name, files=args.files)
+        else:
+            agg = run_codec(name, files=args.files)
         if args.json:
             print(json.dumps(agg))
         else:

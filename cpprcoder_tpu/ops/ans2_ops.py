@@ -5,15 +5,18 @@ TPU design: classic adaptive rANS is encode-hostile (model forward, coding
 backward). The deferred-summation model makes both directions batched:
 
   encode (one jit, no host round-trips):
-    pass A  scan over model windows → normalized snapshots [n_snap, 256]
-            (normalize_freqs_jnp, the device twin of the host spec)
+    pass A  model windows → normalized snapshots [n_snap, 256]
+            (normalize_freqs_jnp, the device twin of the host spec);
+            the doubling warmup windows (1,1,2,4,…,R/2 steps) are a small
+            unrolled prefix, the R-step main windows one lax.scan
     pass B  per-position (f, c) via one one-hot matmul per window
             (lax.map; Precision.HIGHEST — MXU default truncates to bf16)
     pass C  the CT-ANS1 reverse interleaved coding scan, unchanged
 
-  decode: nested scan — outer over windows (rescale + renormalize the
-  snapshot once), inner over the window's steps (division-free rANS step +
-  batched histogram model update, shared by all K lanes).
+  decode: outer loop over windows (rescale + renormalize the snapshot
+  once — unrolled warmup prefix + scan over main windows), inner scan over
+  the window's steps (division-free rANS step + batched histogram model
+  update shared by all K lanes).
 """
 
 from __future__ import annotations
@@ -47,6 +50,19 @@ def _pad2d(x: np.ndarray, steps: int, k: int) -> np.ndarray:
     return out.reshape(steps, k)
 
 
+def _warm_lens(r_log2: int) -> list[int]:
+    """Doubling warmup window lengths: 1,1,2,4,…,R/2 (sum = R)."""
+    return [1] + [1 << i for i in range(r_log2)]
+
+
+def _layout(steps: int, r_log2: int) -> tuple[int, int]:
+    """(steps_pad, n_main) — warmup covers [0, R), main windows cover the
+    rest in R-step strides."""
+    r_steps = 1 << r_log2
+    steps_pad = max(r_steps, -(-steps // r_steps) * r_steps)
+    return steps_pad, steps_pad // r_steps - 1
+
+
 def _window_model(counts, total, limit: int):
     """Window-start model refresh: rescale-if + snapshot normalize."""
     from cpprcoder_tpu.models.table_jax import normalize_freqs_jnp
@@ -58,51 +74,81 @@ def _window_model(counts, total, limit: int):
     return counts, total, freqs
 
 
+def _fc_lookup(tbl_f32, syms_u8):
+    iota = jnp.arange(256, dtype=I32)
+    oh = (syms_u8.astype(I32)[:, None] == iota[None, :]).astype(F32)
+    # HIGHEST: the MXU's default f32 matmul truncates inputs to bf16
+    return jnp.dot(oh, tbl_f32, preferred_element_type=F32,
+                   precision=lax.Precision.HIGHEST)
+
+
 @lru_cache(maxsize=32)
 def _encode_fn(steps: int, k: int, inc: int, limit_log2: int, r_log2: int):
     limit = 1 << limit_log2
     r_steps = 1 << r_log2
-    n_snap = -(-steps // r_steps)
-    steps_pad = n_snap * r_steps
+    steps_pad, n_main = _layout(steps, r_log2)
+    warm = _warm_lens(r_log2)
 
     @jax.jit
     def run(x2d, n):
         from cpprcoder_tpu.models.table_jax import histogram_masked
-        from cpprcoder_tpu.ops.lookup import histogram256
 
-        x3d = jnp.concatenate(
-            [x2d, jnp.zeros((steps_pad - steps, k), jnp.uint8)]
-        ).reshape(n_snap, r_steps * k)
+        x_pad = jnp.concatenate(
+            [x2d, jnp.zeros((steps_pad - steps, k), jnp.uint8)])
 
         # ---- pass A: model windows → snapshots
+        counts, total = jnp.ones(256, U32), U32(256)
+        warm_snaps = []
+        off = 0
+        for length in warm:
+            counts, total, freqs = _window_model(counts, total, limit)
+            warm_snaps.append(freqs)
+            xw = x_pad[off:off + length].reshape(-1)
+            n_rem = jnp.clip(n.astype(I32) - off * k, 0, length * k)
+            counts = counts + histogram_masked(xw, n_rem).astype(U32) * U32(inc)
+            total = total + U32(inc) * n_rem.astype(U32)
+            off += length
+
+        x_main = x_pad[r_steps:].reshape(n_main, r_steps * k) if n_main \
+            else jnp.zeros((0, r_steps * k), jnp.uint8)
+
         def window(carry, xw):
             counts, total, w_idx = carry
             counts, total, freqs = _window_model(counts, total, limit)
-            n_rem = jnp.clip(n.astype(I32) - w_idx * (r_steps * k),
-                             0, r_steps * k)
+            n_rem = jnp.clip(
+                n.astype(I32) - (r_steps + w_idx * r_steps) * k,
+                0, r_steps * k)
             hist = histogram_masked(xw, n_rem).astype(U32)
             counts = counts + hist * U32(inc)
             total = total + U32(inc) * n_rem.astype(U32)
             return (counts, total, w_idx + 1), freqs
 
-        (_, _, _), snaps = lax.scan(
-            window, (jnp.ones(256, U32), U32(256), I32(0)), x3d)
+        (_, _, _), main_snaps = lax.scan(window, (counts, total, I32(0)),
+                                         x_main)
+
+        def with_cum(freqs2d):
+            cums = jnp.concatenate(
+                [jnp.zeros((freqs2d.shape[0], 1), U32),
+                 jnp.cumsum(freqs2d[:, :255], axis=1)], axis=1)
+            return jnp.stack([freqs2d, cums], axis=2).astype(F32)
+
+        warm_tables = with_cum(jnp.stack(warm_snaps))        # [n_warm,256,2]
+        main_tables = with_cum(main_snaps) if n_main else \
+            jnp.zeros((0, 256, 2), F32)
 
         # ---- pass B: per-position (f, c) from the owning snapshot
-        cums = jnp.concatenate(
-            [jnp.zeros((n_snap, 1), U32), jnp.cumsum(snaps[:, :255], axis=1)],
-            axis=1)
-        tables = jnp.stack([snaps, cums], axis=2).astype(F32)  # [n_snap,256,2]
-        iota = jnp.arange(256, dtype=I32)
-
-        def win_fc(args):
-            tbl, syms = args
-            oh = (syms.astype(I32)[:, None] == iota[None, :]).astype(F32)
-            return jnp.dot(oh, tbl, preferred_element_type=F32,
-                           precision=lax.Precision.HIGHEST)
-
-        fc = lax.map(win_fc, (tables, x3d)).astype(U32)  # [n_snap, R*k, 2]
-        fc = fc.reshape(steps_pad, k, 2)[:steps]
+        fc_parts = []
+        off = 0
+        for i, length in enumerate(warm):
+            fc_parts.append(_fc_lookup(warm_tables[i],
+                                       x_pad[off:off + length].reshape(-1)))
+            off += length
+        fc = jnp.concatenate(fc_parts)                        # [R*k, 2]
+        if n_main:
+            fc_main = lax.map(lambda a: _fc_lookup(a[0], a[1]),
+                              (main_tables, x_main))
+            fc = jnp.concatenate([fc, fc_main.reshape(-1, 2)])
+        fc = fc.astype(U32).reshape(steps_pad, k, 2)[:steps]
 
         # ---- pass C: CT-ANS1 reverse interleaved coding scan
         lane_ids = jnp.arange(k, dtype=U32)
@@ -138,7 +184,8 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
                r_log2: int):
     limit = 1 << limit_log2
     r_steps = 1 << r_log2
-    n_snap = -(-steps // r_steps)
+    steps_pad, n_main = _layout(steps, r_log2)
+    warm = _warm_lens(r_log2)
 
     @jax.jit
     def run(stream, states, n):
@@ -146,11 +193,7 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
 
         lane_ids = jnp.arange(k, dtype=U32)
 
-        def window(carry, _):
-            states, base, counts, total, t0 = carry
-            counts, total, freqs = _window_model(counts, total, limit)
-            cum_incl = jnp.cumsum(freqs.astype(U32))
-
+        def make_step(cum_incl):
             def step(c2, _):
                 states, base, counts, total, t_idx = c2
                 active = (t_idx * k + lane_ids) < n
@@ -168,15 +211,31 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
                 total = total + U32(inc) * active.sum().astype(U32)
                 return (states, base, counts, total, t_idx + 1), \
                     s.astype(jnp.uint8)
+            return step
 
+        def run_window(carry, length):
+            states, base, counts, total, t0 = carry
+            counts, total, freqs = _window_model(counts, total, limit)
+            cum_incl = jnp.cumsum(freqs.astype(U32))
             (states, base, counts, total, t0), out = lax.scan(
-                step, (states, base, counts, total, t0), None, length=r_steps)
+                make_step(cum_incl), (states, base, counts, total, t0),
+                None, length=length)
             return (states, base, counts, total, t0), out
 
-        init = (states, jnp.zeros((), I32), jnp.ones(256, U32), U32(256),
-                U32(0))
-        _, out = lax.scan(window, init, None, length=n_snap)
-        return out.reshape(-1, k)[:steps]
+        carry = (states, jnp.zeros((), I32), jnp.ones(256, U32), U32(256),
+                 U32(0))
+        outs = []
+        for length in warm:
+            carry, out = run_window(carry, length)
+            outs.append(out)
+
+        def window(carry, _):
+            return run_window(carry, r_steps)
+
+        if n_main:
+            carry, main_out = lax.scan(window, carry, None, length=n_main)
+            outs.append(main_out.reshape(-1, k))
+        return jnp.concatenate(outs)[:steps]
 
     return run
 
@@ -190,7 +249,8 @@ def ans2_encode_jax(data, lanes: int | None = None,
     x = as_u8(data)
     n = len(x)
     k = lanes or pick_lanes(n)
-    r_log2 = refresh_log2 if refresh_log2 is not None else default_refresh_log2(k)
+    r_log2 = (refresh_log2 if refresh_log2 is not None
+              else default_refresh_log2(k, n))
     w = (ByteWriter().u32(n).u8(_lane_desc(k)).u8(inc).u8(limit_log2)
          .u8(r_log2))
     if n == 0:

@@ -14,10 +14,13 @@ boundaries (every 2^refresh_log2 steps). Consequences:
     already-decoded symbols, like the adaptive range coder (CT-RC2).
 
 Model spec (encoder and decoder must match exactly):
-  counts init all-1 (total 256). At each window start (step ≡ 0 mod R):
-  if total ≥ 2^limit_log2: counts = (counts>>1)|1, total = sum;
-  snapshot = normalize_freqs(counts, 14) (the CT largest-remainder spec).
-  After coding step t's K symbols: counts[s] += inc each, total += inc·K_act.
+  counts init all-1 (total 256). Snapshot boundaries: step 0, every
+  power-of-two step below R = 2^refresh_log2 (doubling warmup — only step 0
+  is ever coded with the uniform init table), then every multiple of R.
+  At each boundary: if total ≥ 2^limit_log2: counts = (counts>>1)|1,
+  total = sum; snapshot = normalize_freqs(counts, 14) (the CT
+  largest-remainder spec). After coding step t's K symbols:
+  counts[s] += inc each, total += inc·K_act.
 
 Container:
   u32 raw_size, u8 lane_desc, u8 inc, u8 limit_log2, u8 refresh_log2,
@@ -37,13 +40,32 @@ ANS2_INC_DEFAULT = 8
 ANS2_LIMIT_LOG2_DEFAULT = 18
 
 
-def default_refresh_log2(k: int) -> int:
-    """~16K symbols per model window."""
-    return max(0, 14 - (k.bit_length() - 1))
+def default_refresh_log2(k: int, n: int) -> int:
+    """~64 model windows per stream (scale-invariant warmup overhead: only
+    window 0 is coded with the uniform init table), capped at ~2^16 symbols
+    per window so huge streams still adapt locally."""
+    steps = max(1, -(-n // k))
+    r = max(0, (steps - 1).bit_length() - 6)
+    cap = max(0, 16 - (k.bit_length() - 1))
+    return min(r, cap)
 
 
 def _lane_desc(k: int) -> int:
     return k.bit_length() - 1
+
+
+def is_boundary(t: int, r_steps: int) -> bool:
+    if t < r_steps:
+        return t == 0 or (t & (t - 1)) == 0
+    return t % r_steps == 0
+
+
+def snapshot_index(t: int, r_steps: int) -> int:
+    """Index of the snapshot governing step t (warmup + main windows)."""
+    n_warm = r_steps.bit_length()  # log2(R) + 1 warmup snapshots
+    if t < r_steps:
+        return 0 if t == 0 else t.bit_length()  # t in [2^(i-1), 2^i) → i
+    return n_warm + (t // r_steps - 1)
 
 
 def _snapshots_and_counts(x2d: np.ndarray, n: int, k: int, inc: int,
@@ -54,7 +76,7 @@ def _snapshots_and_counts(x2d: np.ndarray, n: int, k: int, inc: int,
     total = 256
     snaps = []
     for t in range(steps):
-        if t % r_steps == 0:
+        if is_boundary(t, r_steps):
             if total >= limit:
                 counts = (counts >> 1) | 1
                 total = int(counts.sum())
@@ -73,7 +95,8 @@ def ans2_encode(data, lanes: int | None = None, inc: int = ANS2_INC_DEFAULT,
     x = as_u8(data)
     n = len(x)
     k = lanes or pick_lanes(n)
-    r_log2 = refresh_log2 if refresh_log2 is not None else default_refresh_log2(k)
+    r_log2 = (refresh_log2 if refresh_log2 is not None
+              else default_refresh_log2(k, n))
     w = (ByteWriter().u32(n).u8(_lane_desc(k)).u8(inc).u8(limit_log2)
          .u8(r_log2))
     if n == 0:
@@ -88,7 +111,7 @@ def ans2_encode(data, lanes: int | None = None, inc: int = ANS2_INC_DEFAULT,
     states = [ANS_LOW] * k
     emitted: list[int] = []  # encoder order (reverse of decoder read order)
     for t in range(steps - 1, -1, -1):
-        freqs, cums = snaps[t // r_steps]
+        freqs, cums = snaps[snapshot_index(t, r_steps)]
         active = min(k, n - t * k)
         for j in range(active - 1, -1, -1):
             s = int(x2d[t, j])
@@ -126,7 +149,7 @@ def ans2_decode(blob) -> bytes:
     mask = (1 << ANS_PROB_BITS) - 1
     freqs = cums = None
     for t in range(steps):
-        if t % r_steps == 0:
+        if is_boundary(t, r_steps):
             if total >= limit:
                 counts = (counts >> 1) | 1
                 total = int(counts.sum())

@@ -173,6 +173,70 @@ void normalize(const int64_t* counts_in, int total_bits, uint32_t* freqs) {
   for (int i = 0; i < 256; ++i) freqs[i] = static_cast<uint32_t>(f[i]);
 }
 
+// packed frequency table (FORMATS.md "Packed frequency table"):
+// 128 B nibble classes b = min(bitlen(f), 15) (low nibble first), then an
+// LSB-first extra-bit stream (b-1 bits of f - 2^(b-1) for 2<=b<15; 16 bits
+// of f - 2^14 for b == 15)
+void pack_freqs(const uint32_t* f, std::vector<uint8_t>& out) {
+  uint8_t b[256];
+  for (int s = 0; s < 256; ++s) {
+    uint32_t v = f[s];
+    int bl = 0;
+    while (v) {
+      ++bl;
+      v >>= 1;
+    }
+    b[s] = bl > 15 ? 15 : bl;
+  }
+  for (int s = 0; s < 256; s += 2)
+    out.push_back(static_cast<uint8_t>(b[s] | (b[s + 1] << 4)));
+  uint64_t acc = 0;
+  int nbits = 0;
+  for (int s = 0; s < 256; ++s) {
+    int eb = b[s] <= 1 ? 0 : (b[s] < 15 ? b[s] - 1 : 16);
+    if (!eb) continue;
+    uint32_t val = b[s] < 15 ? f[s] - (1u << (b[s] - 1)) : f[s] - (1u << 14);
+    acc |= static_cast<uint64_t>(val) << nbits;
+    nbits += eb;
+    while (nbits >= 8) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  if (nbits) out.push_back(static_cast<uint8_t>(acc & 0xFF));
+}
+
+// returns bytes consumed, or -1 on underrun
+int64_t unpack_freqs(const uint8_t* p, int64_t avail, uint32_t* f) {
+  if (avail < 128) return -1;
+  uint8_t b[256];
+  for (int s = 0; s < 128; ++s) {
+    b[2 * s] = p[s] & 0xF;
+    b[2 * s + 1] = p[s] >> 4;
+  }
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t pos = 128;
+  for (int s = 0; s < 256; ++s) {
+    int eb = b[s] <= 1 ? 0 : (b[s] < 15 ? b[s] - 1 : 16);
+    if (!eb) {
+      f[s] = b[s];
+      continue;
+    }
+    while (nbits < eb) {
+      if (pos >= avail) return -1;
+      acc |= static_cast<uint64_t>(p[pos++]) << nbits;
+      nbits += 8;
+    }
+    uint32_t v = static_cast<uint32_t>(acc & ((1u << eb) - 1));
+    acc >>= eb;
+    nbits -= eb;
+    f[s] = (b[s] == 15 ? (1u << 14) : (1u << (b[s] - 1))) + v;
+  }
+  return pos;
+}
+
 int64_t assemble(std::vector<uint8_t>& hdr, std::vector<LaneEncoder>& lanes,
                  uint8_t lane_desc_base, uint8_t* dst, int64_t cap) {
   uint64_t max_size = 0, total = 0;
@@ -237,10 +301,7 @@ int64_t ct_static_encode(const uint8_t* src, int64_t n, uint32_t k,
     cums[i] = c;
     c += freqs[i];
   }
-  for (int i = 0; i < 256; ++i) {
-    hdr.push_back(freqs[i] & 0xFF);
-    hdr.push_back((freqs[i] >> 8) & 0xFF);
-  }
+  pack_freqs(freqs, hdr);
   std::vector<LaneEncoder> lanes(k);
   for (int64_t i = 0; i < n; ++i) {
     LaneEncoder& e = lanes[i % k];
@@ -262,9 +323,10 @@ int64_t ct_static_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   if (n == 0) return 0;
   const uint8_t* p = src + 5;
   uint32_t freqs[256], cums[256];
-  for (int i = 0; i < 256; ++i) {
-    freqs[i] = p[0] | (p[1] << 8);
-    p += 2;
+  {
+    int64_t used = unpack_freqs(p, src_size - 5, freqs);
+    if (used < 0) return -1;
+    p += used;
   }
   uint32_t c = 0;
   for (int i = 0; i < 256; ++i) {
