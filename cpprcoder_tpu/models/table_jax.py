@@ -14,13 +14,38 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
-def histogram_masked(x_flat, n):
+def histogram_masked(x_flat, n, chunk: int = 1 << 15):
     """256-bin histogram of x_flat (u8, padded) counting only the first n.
 
-    Device equivalent of np.bincount(x[:n], minlength=256); the padding is
-    routed to a 257th dump bin."""
-    idx = jnp.where(jnp.arange(x_flat.shape[0]) < n, x_flat.astype(I32), 256)
-    return jnp.zeros(257, I32).at[idx].add(1)[:256]
+    Device equivalent of np.bincount(x[:n], minlength=256). Scatter-add is
+    ~9 ns/element on this TPU (73 ms for 8 Mi); chunked one-hot matmuls on
+    the MXU are ~10× faster (0/1 operands are bf16-exact and per-chunk
+    counts < 2^24 accumulate exactly in f32)."""
+    import jax.lax as lax
+
+    m = x_flat.shape[0]
+    if m < (1 << 12):  # tiny inputs: scatter is fine and compiles leaner
+        idx = jnp.where(jnp.arange(m) < n, x_flat.astype(I32), 256)
+        return jnp.zeros(257, I32).at[idx].add(1)[:256]
+    pad = (-m) % chunk
+    xs = jnp.concatenate([x_flat.reshape(-1),
+                          jnp.zeros(pad, x_flat.dtype)]) if pad else x_flat
+    xs = xs.reshape(-1, chunk)
+    iota = jnp.arange(256, dtype=I32)
+    base = jnp.arange(chunk, dtype=I32)
+
+    def one(carry, args):
+        row, cidx = args
+        act = (base + cidx * chunk) < n.astype(I32)
+        oh = ((row.astype(I32)[:, None] == iota[None, :])
+              & act[:, None]).astype(jnp.float32)
+        h = jnp.dot(jnp.ones((1, chunk), jnp.float32), oh,
+                    preferred_element_type=jnp.float32)[0]
+        return carry + h, 0
+
+    hist, _ = lax.scan(one, jnp.zeros(256, jnp.float32),
+                       (xs, jnp.arange(xs.shape[0], dtype=I32)))
+    return hist.astype(I32)
 
 
 def prescale_counts_jnp(counts, n):

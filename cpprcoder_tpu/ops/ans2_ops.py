@@ -189,7 +189,7 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
 
     @jax.jit
     def run(stream, states, n):
-        from cpprcoder_tpu.ops.lookup import find_symbol, histogram256
+        from cpprcoder_tpu.ops.lookup import find_symbol2, hist_from_onehots
 
         lane_ids = jnp.arange(k, dtype=U32)
 
@@ -198,7 +198,7 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
                 states, base, counts, total, t_idx = c2
                 active = (t_idx * k + lane_ids) < n
                 slot = states & U32(MASK)
-                s, c, f = find_symbol(cum_incl, slot)
+                s, c, f, ohs = find_symbol2(cum_incl, slot, active)
                 st = f * (states >> ANS_PROB_BITS) + slot - c
                 need = active & (st < U32(ANS_LOW))
                 offs = jnp.cumsum(need.astype(I32)) - 1
@@ -207,7 +207,7 @@ def _decode_fn(steps: int, k: int, w_cap: int, inc: int, limit_log2: int,
                 st = jnp.where(need, (st << 16) | w, st)
                 states = jnp.where(active, st, states)
                 base = base + need.sum().astype(I32)
-                counts = counts + histogram256(s, inc, active)
+                counts = counts + hist_from_onehots(*ohs, inc)
                 total = total + U32(inc) * active.sum().astype(U32)
                 return (states, base, counts, total, t_idx + 1), \
                     s.astype(jnp.uint8)

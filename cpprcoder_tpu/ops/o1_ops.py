@@ -53,9 +53,20 @@ def _iota():
 
 def _model_step(t1, rowtot, t0, tot0, ctx, syms, active, inc, limit1, limit0,
                 a):
-    """Shared per-step model math. Returns per-lane (f_eff, c_eff, tot_eff)
-    computed BEFORE the update, plus updated model state. When syms is None
-    (decode), returns the blended inclusive-cum rows instead of (f, c)."""
+    """Shared per-step model math. Returns per-lane blended inclusive-cum
+    rows + tot_eff (computed BEFORE the update) plus rescaled model state.
+
+    Hot-path structure (the step dominates CT-RC3 throughput):
+      - the order-1 row cumsum runs on the TABLE [256,256], not on the
+        extracted rows [K,256] (K/256× fewer elements, K in the thousands);
+        extraction of the cum row is then a single matmul, exact by
+        linearity.
+      - the extraction matmul runs at DEFAULT precision on byte-split
+        pieces: C1 < 2^14 (rowtot < 2^11 + k·inc ≤ 2^11 + 2^13, see
+        pick_inc) is packed as [C1 >> 8, C1 & 255]; one-hot × piece < 2^8
+        products are bf16-exact and the MXU accumulates in f32 — one
+        [K,256]×[256,516] default-precision pass instead of bf16x3
+        (Precision.HIGHEST) on [K,256]×[256,256], ~3× fewer MXU cycles."""
     resc1 = rowtot >= U32(limit1)
     t1 = jnp.where(resc1[:, None], (t1 >> 1) | 1, t1)
     rowtot = jnp.where(resc1, t1.sum(axis=1), rowtot)
@@ -63,22 +74,25 @@ def _model_step(t1, rowtot, t0, tot0, ctx, syms, active, inc, limit1, limit0,
     t0 = jnp.where(resc0, (t0 >> 1) | 1, t0)
     tot0 = jnp.where(resc0, t0.sum(), tot0)
 
+    c1 = jnp.cumsum(t1, axis=1)                          # [256,256] u32
+    packed = jnp.concatenate(
+        [c1 >> 8, c1 & 255,
+         (rowtot >> 8)[:, None], (rowtot & 255)[:, None]],
+        axis=1).astype(F32)                              # [256,514]
     oh_ctx = (ctx[:, None] == _iota()[None, :]).astype(F32)
-    # HIGHEST: TPU's default f32 matmul truncates inputs to bf16, rounding
-    # table values ≥ 2^8; bf16x3 keeps integers < 2^24 exact
-    m1 = jnp.dot(oh_ctx, t1.astype(F32), preferred_element_type=F32,
-                 precision=jax.lax.Precision.HIGHEST)  # [K,256]
-    cum1 = jnp.cumsum(m1, axis=1)                    # inclusive, f32 exact
-    row_tot_l = cum1[:, -1]
+    ext = jnp.dot(oh_ctx, packed, preferred_element_type=F32)
+    cum1 = ext[:, :256].astype(U32) * 256 + ext[:, 256:512].astype(U32)
+    row_tot = ext[:, 512].astype(U32) * 256 + ext[:, 513].astype(U32)
     c0_incl = jnp.cumsum(t0)
-    cum_eff_incl = (U32(a) * cum1.astype(U32)
-                    + c0_incl[None, :])
-    tot_eff = U32(a) * row_tot_l.astype(U32) + tot0
-    return (t1, rowtot, t0, tot0, m1, cum_eff_incl, tot_eff)
+    cum_eff_incl = U32(a) * cum1 + c0_incl[None, :]
+    tot_eff = U32(a) * row_tot + tot0
+    return (t1, rowtot, t0, tot0, oh_ctx, cum_eff_incl, tot_eff)
 
 
-def _model_update(t1, rowtot, t0, tot0, ctx, syms, active, inc):
-    oh_ctx = ((ctx[:, None] == _iota()[None, :]) & active[:, None]).astype(F32)
+def _model_update(t1, rowtot, t0, tot0, ctx, syms, active, inc, oh_ctx=None):
+    if oh_ctx is None:
+        oh_ctx = (ctx[:, None] == _iota()[None, :]).astype(F32)
+    oh_ctx = oh_ctx * active[:, None]
     oh_sym = ((syms[:, None] == _iota()[None, :]) & active[:, None]).astype(F32)
     upd = jnp.dot(oh_ctx.T, oh_sym, preferred_element_type=F32)  # 0/1 operands are bf16-exact; f32 accumulation is exact below 2^24
     t1 = t1 + upd.astype(U32) * U32(inc)
@@ -90,20 +104,23 @@ def _model_update(t1, rowtot, t0, tot0, ctx, syms, active, inc):
 
 
 def _pick_fc(cum_eff_incl, syms):
-    eq = syms[:, None] == _iota()[None, :]
-    ci = jnp.max(jnp.where(eq, cum_eff_incl, U32(0)), axis=1)
-    prev = jnp.max(jnp.where(syms[:, None] > _iota()[None, :],
-                             cum_eff_incl, U32(0)), axis=1)
-    c = jnp.where(syms > 0, prev, U32(0))
+    """(f, c) at syms from inclusive-cum rows: two one-hot picks (oh and
+    its left-shift select cum[s] and cum[s-1]; s = 0 → c = 0 via the
+    all-zero shifted row)."""
+    oh = (syms[:, None] == _iota()[None, :]).astype(F32)
+    cf = cum_eff_incl.astype(F32)
+    ci = jnp.sum(cf * oh, axis=1).astype(U32)
+    c = jnp.sum(cf * jnp.concatenate(
+        [oh[:, 1:], jnp.zeros((oh.shape[0], 1), F32)], axis=1),
+        axis=1).astype(U32)
     return ci - c, c
 
 
 def _find_in_rows(cum_eff_incl, v):
-    le = cum_eff_incl <= v[:, None]
-    s = jnp.sum(le, axis=1).astype(I32)
-    c = jnp.max(jnp.where(le, cum_eff_incl, U32(0)), axis=1)
-    hi = jnp.min(jnp.where(le, U32(0xFFFFFFFF), cum_eff_incl), axis=1)
-    return s, c, hi - c
+    """Decode search: s = #{cum ≤ v} per row, then (f, c) via _pick_fc."""
+    s = jnp.sum(cum_eff_incl <= v[:, None], axis=1).astype(I32)
+    f, c = _pick_fc(cum_eff_incl, s)
+    return s, c, f
 
 
 def _init_model(k):
@@ -125,7 +142,7 @@ def _encode_fn(steps: int, k: int, inc: int, limit1_log2: int,
             st, t_idx, t1, rowtot, t0, tot0, ctx = carry
             active = t_idx < lens
             syms = xt.astype(I32)
-            (t1, rowtot, t0, tot0, _, cum_eff, tot_eff) = _model_step(
+            (t1, rowtot, t0, tot0, oh_ctx, cum_eff, tot_eff) = _model_step(
                 t1, rowtot, t0, tot0, ctx, syms, active, inc, limit1, limit0, a)
             f, c = _pick_fc(cum_eff, syms)
             t = st[2] // tot_eff
@@ -133,7 +150,7 @@ def _encode_fn(steps: int, k: int, inc: int, limit1_log2: int,
             st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active,
                                               N_SLOTS)
             t1, rowtot, t0, tot0, ctx = _model_update(
-                t1, rowtot, t0, tot0, ctx, syms, active, inc)
+                t1, rowtot, t0, tot0, ctx, syms, active, inc, oh_ctx)
             return (st, t_idx + 1, t1, rowtot, t0, tot0, ctx), evs
 
         (st, *_), evs = lax.scan(
@@ -172,7 +189,7 @@ def _decode_fn(steps: int, k: int, inc: int, limit1_log2: int,
             (rng, code, q, occ, cur, t_idx, t1, rowtot, t0, tot0, ctx) = carry
             q, occ, cur = _queue_refill(S, q, occ, cur, ends, N_SLOTS, p_cap)
             active = t_idx < lens
-            (t1, rowtot, t0, tot0, _, cum_eff, tot_eff) = _model_step(
+            (t1, rowtot, t0, tot0, oh_ctx, cum_eff, tot_eff) = _model_step(
                 t1, rowtot, t0, tot0, ctx, None, active, inc, limit1, limit0, a)
             t = rng // tot_eff
             v = jnp.minimum(code // t, tot_eff - 1)
@@ -185,7 +202,7 @@ def _decode_fn(steps: int, k: int, inc: int, limit1_log2: int,
                 code = jnp.where(do, (code << 8) | b, code)
                 rng = jnp.where(do, rng << 8, rng)
             t1, rowtot, t0, tot0, ctx = _model_update(
-                t1, rowtot, t0, tot0, ctx, s, active, inc)
+                t1, rowtot, t0, tot0, ctx, s, active, inc, oh_ctx)
             return (rng, code, q, occ, cur, t_idx + 1,
                     t1, rowtot, t0, tot0, ctx), s.astype(jnp.uint8)
 

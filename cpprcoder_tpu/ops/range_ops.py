@@ -101,7 +101,7 @@ def _adaptive_encode_fn(steps: int, k: int, inc: int, limit_log2: int):
         lane_ids = jnp.arange(k, dtype=U32)
         freqs0 = jnp.ones(256, U32)
 
-        from cpprcoder_tpu.ops.lookup import find_symbol_of, histogram256
+        from cpprcoder_tpu.ops.lookup import coder_step_lookups2
 
         def step(carry, xt):
             st, t_idx, freqs, total = carry
@@ -112,11 +112,11 @@ def _adaptive_encode_fn(steps: int, k: int, inc: int, limit_log2: int):
             cum_incl = jnp.cumsum(freqs)
             syms = xt.astype(jnp.int32)
             active = (t_idx * k + lane_ids) < n
-            f, c = find_symbol_of(freqs, cum_incl, syms)
+            f, c, upd = coder_step_lookups2(freqs, cum_incl, syms, active, inc)
             t = st[2] // total
             is_top = (c + f) == total
             st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active, n_slots)
-            freqs = freqs + histogram256(syms, inc, active)
+            freqs = freqs + upd
             total = total + U32(inc) * active.sum().astype(U32)
             return (st, t_idx + 1, freqs, total), evs
 
@@ -236,7 +236,7 @@ def _queue_read(q, occ, do):
 def _static_decode_fn(steps: int, k: int, p_cap: int):
     @jax.jit
     def run(payload, sizes, freqs):
-        from cpprcoder_tpu.ops.lookup import find_symbol
+        from cpprcoder_tpu.ops.lookup import find_symbol2
 
         cum_incl = jnp.cumsum(freqs.astype(U32))
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
@@ -257,7 +257,7 @@ def _static_decode_fn(steps: int, k: int, p_cap: int):
             q, occ, cur = _queue_refill(S, q, occ, cur, ends, 2, p_cap)
             t = rng >> STATIC_TOTAL_BITS
             v = jnp.minimum(code // t, U32(STATIC_TOTAL - 1))
-            s, c, f = find_symbol(cum_incl, v)
+            s, c, f, _ = find_symbol2(cum_incl, v)
             code = code - t * c
             rng = jnp.where((c + f) == U32(STATIC_TOTAL), rng - t * c, t * f)
             for _ in range(2):
@@ -280,7 +280,7 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
 
     @jax.jit
     def run(payload, sizes, n):
-        from cpprcoder_tpu.ops.lookup import find_symbol, histogram256
+        from cpprcoder_tpu.ops.lookup import find_symbol2, hist_from_onehots
 
         offsets = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
         ends = offsets + sizes.astype(jnp.int32)
@@ -307,7 +307,7 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
             active = (t_idx * k + lane_ids) < n
             t = rng // total
             v = jnp.minimum(code // t, total - 1)
-            s, c, f = find_symbol(cum_incl, v)
+            s, c, f, ohs = find_symbol2(cum_incl, v, active)
             code = code - t * c
             rng = jnp.where((c + f) == total, rng - t * c, t * f)
             for _ in range(n_renorm):
@@ -316,7 +316,7 @@ def _adaptive_decode_fn(steps: int, k: int, inc: int, limit_log2: int, p_cap: in
                 q, occ = q2, occ2
                 code = jnp.where(do, (code << 8) | b, code)
                 rng = jnp.where(do, rng << 8, rng)
-            freqs = freqs + histogram256(s, inc, active)
+            freqs = freqs + hist_from_onehots(*ohs, inc)
             total = total + U32(inc) * active.sum().astype(U32)
             return (rng, code, q, occ, cur, t_idx + 1, freqs, total), \
                 s.astype(jnp.uint8)

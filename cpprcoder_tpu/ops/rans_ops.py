@@ -99,7 +99,7 @@ def _stream_fn(slots: int, cap: int):
 def _decode_fn(steps: int, k: int, w_cap: int):
     @jax.jit
     def run(stream, states, freqs, n):
-        from cpprcoder_tpu.ops.lookup import find_symbol
+        from cpprcoder_tpu.ops.lookup import find_symbol2
 
         cum_incl = jnp.cumsum(freqs.astype(U32))
         lane_ids = jnp.arange(k, dtype=U32)
@@ -108,7 +108,7 @@ def _decode_fn(steps: int, k: int, w_cap: int):
             states, base, t_idx = carry
             active = (t_idx * k + lane_ids) < n
             slot = states & U32(MASK)
-            s, c, f = find_symbol(cum_incl, slot)
+            s, c, f, _ = find_symbol2(cum_incl, slot)
             st = f * (states >> ANS_PROB_BITS) + slot - c
             need = active & (st < U32(ANS_LOW))
             offs = jnp.cumsum(need.astype(I32)) - 1

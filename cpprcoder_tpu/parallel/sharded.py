@@ -39,7 +39,7 @@ def _adaptive_shard_body(x3d_local, n_vec_local, k_global, inc, limit,
     [blocks_local, k_local], shard_total [1]."""
     lane_ax = jax.lax.axis_index("lane").astype(U32)
 
-    from cpprcoder_tpu.ops.lookup import find_symbol_of, histogram256
+    from cpprcoder_tpu.ops.lookup import coder_step_lookups2
 
     def encode_one(x2d, n):
         st = tuple(jax.lax.pvary(a, ("data", "lane"))
@@ -57,12 +57,13 @@ def _adaptive_shard_body(x3d_local, n_vec_local, k_global, inc, limit,
             cum_incl = jnp.cumsum(freqs)
             syms = xt.astype(I32)
             active = (t_idx * k_global + lane_ids) < n
-            f, c = find_symbol_of(freqs, cum_incl, syms)
+            f, c, upd = coder_step_lookups2(freqs, cum_incl, syms, active,
+                                            inc)
             t = st[2] // total
             is_top = (c + f) == total
             st2, evs = rc_common.encode_symbol(st, t, c, f, is_top, active,
                                                n_slots)
-            hist = jax.lax.psum(histogram256(syms, inc, active), "lane")
+            hist = jax.lax.psum(upd, "lane")
             freqs = freqs + hist
             total = total + hist.sum()
             return (st2, t_idx + 1, freqs, total), evs
