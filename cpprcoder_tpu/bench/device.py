@@ -87,9 +87,9 @@ class RCJob:
             self._dec_out = self.dec(self._enc_out[0], self._enc_out[1],
                                      self.nn)
 
-    def run(self, reps_hi: int = 2):
-        self.enc_t = measure(self._enc_body, 1, reps_hi)
-        self.dec_t = measure(self._dec_body, 1, reps_hi)
+    def run(self, reps_hi: int | None = None):
+        self.enc_t = measure(self._enc_body)
+        self.dec_t = measure(self._dec_body)
 
     def finalize(self) -> dict:
         eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
@@ -105,8 +105,8 @@ class RCJob:
         }
 
 
-def bench_corpus(kinds=("static", "adaptive"), files=None, reps_hi: int = 2,
-                 load=None) -> list[dict]:
+def bench_corpus(kinds=("static", "adaptive"), files=None,
+                 reps_hi: int | None = None, load=None) -> list[dict]:
     from cpprcoder_tpu.bench.harness import CANTERBURY
     from cpprcoder_tpu.bench.harness import load as _load
 

@@ -15,6 +15,7 @@ Codec ids (stable, used by CT-PIPE containers):
    11 adaptive_o1    CT-RC3
    12 rle0           CT-RLE0
    13 adaptive_rans  CT-ANS2
+   14 rcq            CT-RCQ (quantized-model adaptive range coder)
 """
 
 from __future__ import annotations
@@ -93,6 +94,7 @@ def _ensure_loaded():
         adaptive_o1,
         adaptive_rans,
         rle0,
+        rcq,
         pipeline,
         stream,
     )
