@@ -120,3 +120,102 @@ def bench_corpus(kinds=("static", "adaptive"), files=None,
         j.run(reps_hi)
         results.append(j.finalize())
     return results
+
+
+class RCQJob:
+    """One file x CT-RCQ under the tunnel-safe protocol.
+
+    backend: "pallas" (TPU kernels) or "jax" (XLA scan). Timed bodies cover
+    the full device pipeline: encode = kernel + event compaction +
+    payload materialization; decode = word-row restrike + kernel."""
+
+    def __init__(self, name: str, data: bytes, backend: str = "pallas",
+                 lanes: int | None = None, inc: int | None = None,
+                 climit_log2: int | None = None):
+        from cpprcoder_tpu.models.qmodel import rcq_params
+        from cpprcoder_tpu.ops import rcq_ops, rcq_pallas, range_ops
+        from cpprcoder_tpu.utils.shapes import bucket
+
+        self.name, self.data, self.backend = name, data, backend
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        k, inc0, cl0 = rcq_params(n, lanes)
+        self.k, self.inc = k, inc if inc is not None else inc0
+        self.cl = climit_log2 if climit_log2 is not None else cl0
+        self.steps = steps = bucket(-(-n // k))
+        self.cap = cap = _out_cap(n, k)
+        self.x2d = jnp.asarray(range_ops._pad2d(x, steps, k))
+        self.nn = U32(n)
+        if backend == "pallas":
+            self.enc = rcq_pallas._encode_call(steps, k, self.inc, self.cl)
+        else:
+            self.enc = rcq_ops._encode_fn(steps, k, self.inc, self.cl)
+        self.mat = range_ops._materialize_fn(k, steps * 2 + 2, cap)
+        self._rcq_ops = rcq_ops
+        self._rcq_pallas = rcq_pallas
+        self._bucket = bucket
+        self.hdr = 8 + 2 * k
+        self.enc_t = self.dec_t = None
+
+    def _encode_full(self, x2d):
+        events, lane_sizes, total = self.enc(x2d, self.nn)
+        payload, sizes = self.mat(events)
+        return payload, sizes, total
+
+    def _enc_body(self, p):
+        e = self._encode_full(self.x2d ^ p)
+        return jnp.sum(e[0], dtype=U32) + jnp.sum(e[1], dtype=U32)
+
+    def _dec_full(self, payload, sizes):
+        rows = self._rows(payload, sizes)
+        if self.backend == "pallas":
+            out = self.dec(rows.T, self.nn)
+        else:
+            out = self.dec(rows, self.nn)
+        return out
+
+    def _dec_body(self, p):
+        payload, sizes, _ = self._enc_out
+        out = self._dec_full(payload ^ p, sizes)
+        return jnp.sum(out, dtype=U32)
+
+    def warm(self):
+        from cpprcoder_tpu.ops.rcq_ops import _rows_fn
+
+        self._enc_out = self._encode_full(self.x2d)
+        payload, sizes, total = self._enc_out
+        # l4/p_cap are static per job: derive from the materialize cap
+        self.l4 = self._bucket(self.steps // 4 + 3)
+        self._rows = lambda pl_, sz: _rows_fn(self.k, self.l4, self.cap)(
+            pl_, sz.astype(jnp.int32))
+        if self.backend == "pallas":
+            self.dec = self._rcq_pallas._decode_call(
+                self.steps, self.k, self.l4, self.inc, self.cl)
+        else:
+            self.dec = self._rcq_ops._decode_fn(
+                self.steps, self.k, self.inc, self.cl, self.l4)
+            self._rows = lambda pl_, sz: self._rcq_ops._rows_fn(
+                self.k, self.l4, self.cap)(pl_, sz.astype(jnp.int32))
+        self._dec_out = self._dec_full(payload, sizes)
+
+    def run(self, reps_hi: int | None = None):
+        # rep counts stay small: each unrolled rep replicates the pallas
+        # program in the XLA graph (compile cost), so (1, hi<=4) + more
+        # wall repeats instead of a long unroll
+        self.enc_t = measure(self._enc_body, 1, reps_hi or 4, repeats=5)
+        self.dec_t = measure(self._dec_body, 1, reps_hi or 4, repeats=5)
+
+    def finalize(self) -> dict:
+        eq = int(_equal_count(
+            self._dec_out.astype(jnp.uint8).reshape(-1)[: self.n],
+            self.x2d.reshape(-1)[: self.n]))
+        total = int(self._enc_out[2])
+        comp = total + self.hdr
+        return {
+            "file": self.name, "codec": f"rcq_{self.backend}",
+            "bytes": self.n, "k": self.k, "compressed": comp,
+            "ratio": comp / self.n,
+            "enc_MBps": self.n / self.enc_t / 1e6,
+            "dec_MBps": self.n / self.dec_t / 1e6,
+            "roundtrip_ok": eq == self.n,
+        }
