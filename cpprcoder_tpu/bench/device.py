@@ -143,13 +143,16 @@ class RCQJob:
         self.k, self.inc = k, inc if inc is not None else inc0
         self.cl = climit_log2 if climit_log2 is not None else cl0
         self.steps = steps = bucket(-(-n // k))
-        self.cap = cap = _out_cap(n, k)
         self.x2d = jnp.asarray(range_ops._pad2d(x, steps, k))
         self.nn = U32(n)
         if backend == "pallas":
             self.enc = rcq_pallas._encode_call(steps, k, self.inc, self.cl)
         else:
             self.enc = rcq_ops._encode_fn(steps, k, self.inc, self.cl)
+        # the production wrapper (_encode_container) sizes the payload cap
+        # from the ACTUAL compressed total; mirror it (one cheap probe run)
+        total0 = int(self.enc(self.x2d, self.nn)[2])
+        self.cap = cap = bucket(total0 + 8)
         self.mat = range_ops._materialize_fn(k, steps * 2 + 2, cap)
         self._rcq_ops = rcq_ops
         self._rcq_pallas = rcq_pallas
@@ -184,8 +187,10 @@ class RCQJob:
 
         self._enc_out = self._encode_full(self.x2d)
         payload, sizes, total = self._enc_out
-        # l4/p_cap are static per job: derive from the materialize cap
-        self.l4 = self._bucket(self.steps // 4 + 3)
+        # l4 from the ACTUAL lane sizes (static per job), exactly like the
+        # production decode wrapper
+        max_sz = int(np.asarray(jax.device_get(sizes)).max())
+        self.l4 = self._bucket(-(-max_sz // 4) + 1)
         self._rows = lambda pl_, sz: _rows_fn(self.k, self.l4, self.cap)(
             pl_, sz.astype(jnp.int32))
         if self.backend == "pallas":

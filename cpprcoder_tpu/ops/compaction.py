@@ -13,6 +13,7 @@ the event start offsets — the SURVEY.md §7 'ragged compaction' pattern.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cpprcoder_tpu.ops.rc_common import EV_RUN_MASK
@@ -53,7 +54,62 @@ def payload_layout(events):
 def materialize(events, out_cap: int):
     """Build the concatenated payload (static size out_cap ≥ total).
 
-    Returns (payload u8 [out_cap], lane_sizes i32 [K])."""
+    Returns (payload u8 [out_cap], lane_sizes i32 [K]).
+
+    Sort-based expansion (measured on v5e: lax.sort of 2M pairs ~1 ms vs
+    165 ms for a 1M-query searchsorted and ~7 ns/element for gathers — so
+    the expansion uses two sorts + a cummax and NO gathers):
+
+      1. merge-sort event-start records (key 2*pstart) with output-position
+         records (key 2*p+1): each position lands right after its owning
+         event (the last emitting event with pstart <= p);
+      2. forward-fill the owner along the sorted order with one cummax of
+         (sorted_index << 10 | event bits) — monotone by construction;
+      3. each position's byte = owner's first byte if the position record
+         directly follows its event record (and the event's dummy byte is
+         not dropped), else the owner's run byte;
+      4. a second sort by position extracts the payload in order.
+
+    Capacity: sorted_index needs R = K*E + out_cap <= 2^22 records (the
+    10-bit payload leaves 22 index bits); larger jobs fall back to the
+    searchsorted path (superblock framing keeps real containers below the
+    bound)."""
+    M = events.size
+    if M + out_cap > (1 << 22):
+        return _materialize_searchsorted(events, out_cap)
+    emit, first, run_byte, _ = event_fields(events)
+    pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
+    BIG = jnp.uint32(0xFFFFFFFF)
+    ev_keys = jnp.where(pcnt > 0, pstart.astype(U32) * 2, BIG)
+    ev_vals = (first.reshape(-1).astype(U32)
+               | (run_byte.reshape(-1) == 0).astype(U32) << 8
+               | dropped.astype(U32) << 9)
+    positions = jnp.arange(out_cap, dtype=U32)
+    keys = jnp.concatenate([ev_keys, positions * 2 + 1])
+    # one combined payload: event bits (10) | is_event flag (bit 10)
+    vals = jnp.concatenate([ev_vals | U32(1 << 10), jnp.zeros(out_cap, U32)])
+    skeys, svals = jax.lax.sort((keys, vals), num_keys=1)
+    sev = (svals >> 10) & 1
+    r = M + out_cap
+    iota = jnp.arange(r, dtype=U32)
+    fill = jax.lax.cummax(
+        jnp.where(sev == 1, (iota << 10) | (svals & U32(0x3FF)), U32(0)))
+    bits = fill & U32(0x3FF)
+    after_ev = jnp.concatenate([jnp.zeros(1, U32), sev[:-1]]) == 1
+    first_b = bits & U32(0xFF)
+    run_b = jnp.where((bits >> 8) & 1, U32(0x00), U32(0xFF))
+    use_first = after_ev & (((bits >> 9) & 1) == 0)
+    byte = jnp.where(use_first, first_b, run_b)
+    # second sort: positions (key p) to the front in order, events to tail
+    key2 = jnp.where(sev == 0, skeys >> 1, BIG)
+    _, byte2 = jax.lax.sort((key2, byte), num_keys=1)
+    out = jnp.where(positions < total.astype(U32), byte2[:out_cap], 0)
+    return out.astype(jnp.uint8), lane_sizes
+
+
+def _materialize_searchsorted(events, out_cap: int):
+    """Original gather-based expansion (fallback above the sort-capacity
+    bound; also the readable spec the sort path is tested against)."""
     emit, first, run_byte, _ = event_fields(events)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
     # event start positions: non-contributing events share the next event's
