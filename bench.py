@@ -2,61 +2,88 @@
 """Driver benchmark: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Metric: aggregate encode+decode throughput of the adaptive range coder over
-the full 11-file Canterbury corpus (Config 2 of BASELINE.json), measured
-device-resident on one TPU chip (production pipelines keep data in HBM; this
-dev environment's host tunnel is not the production path and additionally
-degrades all dispatches after the first device→host transfer — see
-cpprcoder_tpu/bench/device.py). Every file is round-trip verified
-byte-for-byte after timing; verification failure zeroes the metric.
+Metric: aggregate encode+decode throughput of the adaptive byte-wise range
+coder over the full 11-file Canterbury corpus (Config 2 of BASELINE.json),
+measured device-resident on one TPU chip. The codec is CT-RCQ — the
+quantized-model adaptive range coder (reference-parity capability:
+AdaptiveRangeEncoder/Decoder, cpprcoder.h:626-940) — running its Pallas
+kernels for files large enough to engage them and the XLA backend below
+that. Every file is round-trip verified byte-for-byte on device after
+timing; verification failure or an unstable timing slope (NaN) zeroes the
+metric.
 
-Baseline: reference adaptive coder corpus aggregate = 2·2810784 bytes /
-(53532+74975) µs = 43.75 MB/s (BASELINE.md aggregates table).
+Timing: in-jit repeated kernels with loop-carried dependencies, scalar
+fetch walls, two-point rep slope (cpprcoder_tpu/bench/timing.py) — the
+round-1 harness that clamped noise to 1e-9 s is gone; NaN rows now fail
+the bench instead of fabricating numbers.
+
+Baseline: reference adaptive coder corpus aggregate = 2*2810784 bytes /
+(53532+74975) us = 43.75 MB/s (BASELINE.md aggregates table).
 """
 
 import json
+import math
 import sys
 
 
 REF_ADAPTIVE_MBPS = 43.75
+PLAUSIBLE_MBPS_CEILING = 500_000.0  # ~HBM bandwidth; beyond this = bogus
 
 
 def main():
     from cpprcoder_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from cpprcoder_tpu.bench.device import bench_corpus
-    from cpprcoder_tpu.bench.harness import REF_RATIOS
+    from cpprcoder_tpu.bench.device import RCQJob
+    from cpprcoder_tpu.bench.harness import CANTERBURY, REF_RATIOS, load
+    from cpprcoder_tpu.models.qmodel import rcq_params
 
-    rows = bench_corpus(kinds=("adaptive", "static"))
-    adaptive = [r for r in rows if r["codec"] == "adaptive_range"]
-    all_ok = all(r["roundtrip_ok"] for r in rows)
-    total = sum(r["bytes"] for r in adaptive)
-    enc_t = sum(r["bytes"] / (r["enc_MBps"] * 1e6) for r in adaptive)
-    dec_t = sum(r["bytes"] / (r["dec_MBps"] * 1e6) for r in adaptive)
-    agg_mbps = 2 * total / (enc_t + dec_t) / 1e6
-    value = agg_mbps if all_ok else 0.0
+    rows = []
+    for f in CANTERBURY:
+        data = load(f)
+        k = rcq_params(len(data))[0]
+        backend = "pallas" if k >= 128 else "jax"
+        job = RCQJob(f, data, backend=backend)
+        job.warm()
+        job.run()
+        rows.append(job.finalize())
+
+    ok = all(r["roundtrip_ok"] for r in rows)
+    sane = all(
+        not math.isnan(r["enc_MBps"]) and not math.isnan(r["dec_MBps"])
+        and r["enc_MBps"] < PLAUSIBLE_MBPS_CEILING
+        and r["dec_MBps"] < PLAUSIBLE_MBPS_CEILING
+        for r in rows)
+    total = sum(r["bytes"] for r in rows)
+    if ok and sane:
+        enc_t = sum(r["bytes"] / (r["enc_MBps"] * 1e6) for r in rows)
+        dec_t = sum(r["bytes"] / (r["dec_MBps"] * 1e6) for r in rows)
+        value = 2 * total / (enc_t + dec_t) / 1e6
+    else:
+        value = 0.0
 
     details = {
         "rows": rows,
-        "adaptive_agg_MBps": agg_mbps,
-        "adaptive_weighted_ratio":
-            sum(r["compressed"] for r in adaptive) / total,
-        "ratio_vs_ref": {
-            r["file"]: (r["ratio"], REF_RATIOS["adaptive_range"].get(r["file"]))
-            for r in adaptive
+        "aggregate_MBps": value,
+        "weighted_ratio": sum(r["compressed"] for r in rows) / total,
+        "ratio_vs_ref_adaptive": {
+            r["file"]: (round(r["ratio"], 5),
+                        REF_RATIOS["adaptive_range"].get(r["file"]))
+            for r in rows
         },
-        "all_roundtrip_ok": all_ok,
+        "all_roundtrip_ok": ok,
+        "timing_sane": sane,
     }
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)
 
     print(json.dumps({
-        "metric": "canterbury_adaptive_rc_encdec_throughput",
+        "metric": "canterbury_adaptive_coder_encdec_throughput",
         "value": round(value, 1),
         "unit": "MB/s",
         "vs_baseline": round(value / REF_ADAPTIVE_MBPS, 2),
     }))
+    return 0
 
 
 if __name__ == "__main__":

@@ -153,7 +153,10 @@ class RCQJob:
         # from the ACTUAL compressed total; mirror it (one cheap probe run)
         total0 = int(self.enc(self.x2d, self.nn)[2])
         self.cap = cap = bucket(total0 + 8)
-        self.mat = range_ops._materialize_fn(k, steps * 2 + 2, cap)
+        if backend == "pallas":   # time-major events [E, K]
+            self.mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
+        else:
+            self.mat = range_ops._materialize_fn(k, steps * 2 + 2, cap)
         self._rcq_ops = rcq_ops
         self._rcq_pallas = rcq_pallas
         self._bucket = bucket
@@ -203,12 +206,21 @@ class RCQJob:
                 self.k, self.l4, self.cap)(pl_, sz.astype(jnp.int32))
         self._dec_out = self._dec_full(payload, sizes)
 
+    def _measure(self, body):
+        from cpprcoder_tpu.bench.timing import (
+            OVERHEAD_EST, _min_wall, make_loop)
+
+        # size reps from a single-rep estimate, capped (each unrolled rep
+        # replicates the pallas program in the XLA graph = compile cost)
+        one = make_loop(body, 1)
+        int(one())
+        est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
+        hi = max(4, min(32, int(0.04 / est) + 1))
+        return measure(body, 1, hi, repeats=5)
+
     def run(self, reps_hi: int | None = None):
-        # rep counts stay small: each unrolled rep replicates the pallas
-        # program in the XLA graph (compile cost), so (1, hi<=4) + more
-        # wall repeats instead of a long unroll
-        self.enc_t = measure(self._enc_body, 1, reps_hi or 4, repeats=5)
-        self.dec_t = measure(self._dec_body, 1, reps_hi or 4, repeats=5)
+        self.enc_t = self._measure(self._enc_body)
+        self.dec_t = self._measure(self._dec_body)
 
     def finalize(self) -> dict:
         eq = int(_equal_count(

@@ -44,7 +44,7 @@ def rcq_params(n: int, lanes: int | None = None,
     below the 8*128 VPU shape is still fast; default keeps windows modest."""
     if lanes is None:
         k = 32
-        while k * 2 <= max(1, n // 192) and k < 2048:
+        while k * 2 <= max(1, n // 256) and k < 2048:
             k *= 2
     else:
         k = lanes

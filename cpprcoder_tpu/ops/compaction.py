@@ -129,3 +129,61 @@ def lane_layout(events):
     _, _, _, lane_sizes, total = payload_layout(events)
     lane_offsets = jnp.cumsum(lane_sizes) - lane_sizes
     return None, None, lane_sizes, lane_offsets, total
+
+
+# ----------------------------------------------------- transposed variants
+#
+# The Pallas encode kernels naturally produce events time-major ([E, K]);
+# these twins consume that layout directly, saving an 8-byte-per-symbol
+# device transpose. Record ORDER inside the sort is irrelevant (the sort
+# re-orders anyway) — only the pstart VALUES must reflect the lane-major
+# payload layout, which the column-wise cumsums below compute.
+
+def payload_layout_t(events_t):
+    """events_t [E, K] -> (pcnt [E,K], pstart [E,K], dropped [E,K],
+    lane_sizes [K], total)."""
+    emit, _, _, run_len = event_fields(events_t)
+    cnt = jnp.where(emit, 1 + run_len, 0).astype(I32)
+    cum_lane = jnp.cumsum(cnt, axis=0)              # per-lane inclusive
+    prior = cum_lane - cnt
+    dropped = emit & (prior == 0)
+    pcnt = cnt - dropped.astype(I32)
+    pin_lane = jnp.cumsum(pcnt, axis=0) - pcnt      # exclusive, per lane
+    lane_sizes = jnp.maximum(cum_lane[-1, :] - 1, 0)
+    lane_offsets = jnp.cumsum(lane_sizes) - lane_sizes
+    pstart = pin_lane + lane_offsets[None, :]
+    total = lane_sizes.sum()
+    return pcnt, pstart, dropped, lane_sizes, total
+
+
+def materialize_t(events_t, out_cap: int):
+    """materialize() twin for time-major [E, K] event grids."""
+    M = events_t.size
+    if M + out_cap > (1 << 22):
+        return _materialize_searchsorted(events_t.T, out_cap)
+    emit, first, run_byte, _ = event_fields(events_t)
+    pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(events_t)
+    BIG = jnp.uint32(0xFFFFFFFF)
+    ev_keys = jnp.where(pcnt.reshape(-1) > 0,
+                        pstart.reshape(-1).astype(U32) * 2, BIG)
+    ev_vals = (first.reshape(-1).astype(U32)
+               | (run_byte.reshape(-1) == 0).astype(U32) << 8
+               | dropped.reshape(-1).astype(U32) << 9)
+    positions = jnp.arange(out_cap, dtype=U32)
+    keys = jnp.concatenate([ev_keys, positions * 2 + 1])
+    vals = jnp.concatenate([ev_vals | U32(1 << 10), jnp.zeros(out_cap, U32)])
+    skeys, svals = jax.lax.sort((keys, vals), num_keys=1)
+    sev = (svals >> 10) & 1
+    iota = jnp.arange(M + out_cap, dtype=U32)
+    fill = jax.lax.cummax(
+        jnp.where(sev == 1, (iota << 10) | (svals & U32(0x3FF)), U32(0)))
+    bits = fill & U32(0x3FF)
+    after_ev = jnp.concatenate([jnp.zeros(1, U32), sev[:-1]]) == 1
+    first_b = bits & U32(0xFF)
+    run_b = jnp.where((bits >> 8) & 1, U32(0x00), U32(0xFF))
+    use_first = after_ev & (((bits >> 9) & 1) == 0)
+    byte = jnp.where(use_first, first_b, run_b)
+    key2 = jnp.where(sev == 0, skeys >> 1, BIG)
+    _, byte2 = jax.lax.sort((key2, byte), num_keys=1)
+    out = jnp.where(positions < total.astype(U32), byte2[:out_cap], 0)
+    return out.astype(jnp.uint8), lane_sizes

@@ -140,7 +140,18 @@ def _materialize_fn(k: int, e: int, out_cap: int):
     return run
 
 
-def _encode_container(x, k, phase1, header_fn):
+@lru_cache(maxsize=64)
+def _materialize_t_fn(e: int, k: int, out_cap: int):
+    """Time-major twin (Pallas encode kernels emit events [E, K])."""
+
+    @jax.jit
+    def run(events_t):
+        return compaction.materialize_t(events_t, out_cap)
+
+    return run
+
+
+def _encode_container(x, k, phase1, header_fn, time_major: bool = False):
     n = len(x)
     steps = bucket(-(-n // k)) if n else 1
     assert steps * 3 + 2 < (1 << rc_common.EV_RUN_BITS), "superblock too large"
@@ -148,7 +159,12 @@ def _encode_container(x, k, phase1, header_fn):
     events, lane_sizes, total, *extra = phase1(x2d)
     total = int(total)
     out_cap = bucket(total)
-    payload, lane_sizes = _materialize_fn(k, events.shape[1], out_cap)(events)
+    if time_major:
+        payload, lane_sizes = _materialize_t_fn(
+            events.shape[0], k, out_cap)(events)
+    else:
+        payload, lane_sizes = _materialize_fn(
+            k, events.shape[1], out_cap)(events)
     sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
     payload_np = np.asarray(jax.device_get(payload))[:total]
     wide = bool(sizes.max() >= 1 << 16) if len(sizes) else False

@@ -396,14 +396,14 @@ def _encode_call(steps: int, k: int, inc: int, climit_log2: int):
             ],
             interpret=_INTERPRET,
         )(jnp.asarray(n, I32).reshape(1, 1), xp.astype(I32))
-        # [E_steps, K] -> [K, E] lane-major event grid for ops.compaction
-        # (drop the pad-step event rows — inactive lanes emit nothing, but
-        # keep the grid aligned with 2*steps real rows)
-        events = jnp.concatenate([evs[: 2 * steps], fl[:2]]).T
+        # keep events TIME-MAJOR [E, K] (pad-step rows dropped: inactive
+        # lanes emit nothing); compaction has [E, K]-native twins, saving
+        # an 8-byte-per-symbol transpose
         from cpprcoder_tpu.ops import compaction
 
-        _, _, lane_sizes, _, total = compaction.lane_layout(events)
-        return events, lane_sizes, total
+        events_t = jnp.concatenate([evs[: 2 * steps], fl[:2]])
+        _, _, _, lane_sizes, total = compaction.payload_layout_t(events_t)
+        return events_t, lane_sizes, total
 
     return run
 
@@ -431,4 +431,4 @@ def rcq_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
         return (ByteWriter().u32(n).u8(_lane_desc(k, wide))
                 .u8(inc).u8(climit_log2).u8(QBITS))
 
-    return _encode_container(x, k, phase1, header)
+    return _encode_container(x, k, phase1, header, time_major=True)
