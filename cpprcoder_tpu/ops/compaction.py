@@ -139,30 +139,40 @@ def lane_layout(events):
 # re-orders anyway) — only the pstart VALUES must reflect the lane-major
 # payload layout, which the column-wise cumsums below compute.
 
-def payload_layout_t(events_t):
+def payload_layout_t(events_t, may_drop=True):
     """events_t [E, K] -> (pcnt [E,K], pstart [E,K], dropped [E,K],
-    lane_sizes [K], total)."""
+    lane_sizes [K], total).
+
+    may_drop: True (one-shot encode: each lane's first emitting event
+    loses its dummy byte), or a [K] bool mask for CONTINUATION chunks of a
+    resumable encode — only lanes that have NEVER emitted in an earlier
+    chunk may still drop (codecs/resume.py)."""
     emit, _, _, run_len = event_fields(events_t)
     cnt = jnp.where(emit, 1 + run_len, 0).astype(I32)
     cum_lane = jnp.cumsum(cnt, axis=0)              # per-lane inclusive
     prior = cum_lane - cnt
-    dropped = emit & (prior == 0)
+    first_emit = emit & (prior == 0)
+    if isinstance(may_drop, bool):
+        dropped = first_emit if may_drop else jnp.zeros_like(emit)
+    else:
+        dropped = first_emit & may_drop[None, :]
     pcnt = cnt - dropped.astype(I32)
     pin_lane = jnp.cumsum(pcnt, axis=0) - pcnt      # exclusive, per lane
-    lane_sizes = jnp.maximum(cum_lane[-1, :] - 1, 0)
+    lane_sizes = cum_lane[-1, :] - dropped.sum(axis=0, dtype=I32)
     lane_offsets = jnp.cumsum(lane_sizes) - lane_sizes
     pstart = pin_lane + lane_offsets[None, :]
     total = lane_sizes.sum()
     return pcnt, pstart, dropped, lane_sizes, total
 
 
-def materialize_t(events_t, out_cap: int):
+def materialize_t(events_t, out_cap: int, may_drop=True):
     """materialize() twin for time-major [E, K] event grids."""
     M = events_t.size
-    if M + out_cap > (1 << 22):
+    if M + out_cap > (1 << 22) and may_drop is True:
         return _materialize_searchsorted(events_t.T, out_cap)
     emit, first, run_byte, _ = event_fields(events_t)
-    pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(events_t)
+    pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(
+        events_t, may_drop)
     BIG = jnp.uint32(0xFFFFFFFF)
     ev_keys = jnp.where(pcnt.reshape(-1) > 0,
                         pstart.reshape(-1).astype(U32) * 2, BIG)
