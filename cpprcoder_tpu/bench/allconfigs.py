@@ -1,0 +1,317 @@
+"""Device benches for the remaining BASELINE configs (VERDICT round-1 #5):
+
+  Config 1  static range coder   -> bench.device.RCJob ("static")
+  Config 2  adaptive coders      -> bench.device.RCQJob (driver bench.py)
+  Config 3  rANS                 -> RANSJob below
+  Config 3b canonical Huffman    -> HUFFJob below
+  Config 4  BWT pipeline core    -> BWTJob below (forward + inverse)
+  Config 5  SLZ4                 -> SLZ4Job below
+
+All jobs use the tunnel-safe protocol of bench.device (in-jit reps,
+slope timing, on-device verification). Run:
+
+    python -m cpprcoder_tpu.bench.allconfigs [files...]
+
+writes ALLCONFIGS.json and prints one JSON row per (codec, file).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpprcoder_tpu.bench.device import _equal_count
+from cpprcoder_tpu.bench.timing import (
+    OVERHEAD_EST, _min_wall, make_loop, measure)
+from cpprcoder_tpu.utils.shapes import bucket
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def _auto_measure(body):
+    one = make_loop(body, 1)
+    int(one())
+    est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
+    hi = max(4, min(32, int(0.04 / est) + 1))
+    return measure(body, 1, hi, repeats=5)
+
+
+class RANSJob:
+    """Config 3: K-lane interleaved rANS (ops/rans_ops.py)."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        from cpprcoder_tpu.config import pick_lanes
+        from cpprcoder_tpu.ops import rans_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        self.k = k = lanes or pick_lanes(n)
+        self.steps = steps = bucket(-(-n // k))
+        self.x2d = jnp.asarray(rans_ops._pad2d(x, steps, k))
+        self.nn = U32(n)
+        self.enc = rans_ops._encode_fn(steps, k)
+        self._ops = rans_ops
+
+    def warm(self):
+        states, emits, words, pstart, n_words, freqs = self.enc(
+            self.x2d, self.nn)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._ops._stream_fn(self.steps * self.k, cap)
+        self.dec = self._ops._decode_fn(self.steps, self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        self._enc_out = (stream, states, freqs, nw)
+        self._dec_out = self.dec(stream, states, freqs, self.nn)
+        self.compressed = nw * 2 + 4 + 1 + 4 * self.k + 4 + 330
+
+    def _enc_body(self, p):
+        states, emits, words, pstart, n_words, freqs = self.enc(
+            self.x2d ^ p, self.nn)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(states, dtype=U32))
+
+    def _dec_body(self, p):
+        stream, states, freqs, _ = self._enc_out
+        out = self.dec(stream ^ p.astype(jnp.uint16), states, freqs, self.nn)
+        return jnp.sum(out, dtype=U32)
+
+    def run(self):
+        self.enc_t = _auto_measure(self._enc_body)
+        self.dec_t = _auto_measure(self._dec_body)
+
+    def finalize(self):
+        eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
+                              self.x2d.reshape(-1)[: self.n]))
+        return {"file": self.name, "codec": "rans", "bytes": self.n,
+                "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": eq == self.n}
+
+
+class HUFFJob:
+    """Config 3b: canonical Huffman (real implementation of the cpphuff.h
+    stub; ops/huffman_ops.py)."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        from cpprcoder_tpu.config import HUF_MAX_BITS, pick_lanes
+        from cpprcoder_tpu.models.huffman import (
+            build_canonical_decode_tables, build_encoder_table)
+        from cpprcoder_tpu.ops import huffman_ops, rans_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        self.k = k = lanes or pick_lanes(n)
+        self.steps = steps = bucket(-(-n // k))
+        self.x2d = jnp.asarray(huffman_ops._pad2d(x, steps, k))
+        self.nn = U32(n)
+        counts = np.bincount(x, minlength=256)
+        lengths, codes = build_encoder_table(counts)
+        self.lengths = jnp.asarray(lengths, U32)
+        self.codes = jnp.asarray(codes, U32)
+        self.limits, self.bases_l, self.perm = (
+            jnp.asarray(a, U32) for a in
+            build_canonical_decode_tables(lengths, HUF_MAX_BITS))
+        self.enc = huffman_ops._encode_fn(steps, k)
+        self._hops = huffman_ops
+        self._sfn = rans_ops._stream_fn
+
+    def warm(self):
+        words, pstart, n_words, bitcounts = self.enc(
+            self.x2d, self.nn, self.lengths, self.codes)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._sfn(self.steps * self.k + self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        bc = np.asarray(jax.device_get(bitcounts)).astype(np.int64)
+        word_counts = (bc + 15) // 16
+        bases = np.concatenate(([0], np.cumsum(word_counts)))[:-1]
+        self.bases = jnp.asarray(bases.astype(np.int32))
+        self.word_ends = jnp.asarray((bases + word_counts).astype(np.int32))
+        self.dec = self._hops._decode_fn(self.steps, self.k, cap)
+        self._enc_out = stream
+        self._dec_out = self.dec(stream, self.bases, self.word_ends,
+                                 self.limits, self.bases_l, self.perm,
+                                 self.nn)
+        self.compressed = int(word_counts.sum()) * 2 + 4 + 1 + 128 + 4 * self.k
+
+    def _enc_body(self, p):
+        words, pstart, n_words, bitcounts = self.enc(
+            self.x2d ^ p, self.nn, self.lengths, self.codes)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(bitcounts, dtype=U32))
+
+    def _dec_body(self, p):
+        out = self.dec(self._enc_out ^ p.astype(jnp.uint16), self.bases,
+                       self.word_ends, self.limits, self.bases_l, self.perm,
+                       self.nn)
+        return jnp.sum(out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
+                              self.x2d.reshape(-1)[: self.n]))
+        return {"file": self.name, "codec": "huffman", "bytes": self.n,
+                "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": eq == self.n}
+
+
+class SLZ4Job:
+    """Config 5: SLZ4 (LZ4 block format, exact-candidate lazy parse)."""
+
+    def __init__(self, name: str, data: bytes, seg_log2: int = 17):
+        from cpprcoder_tpu.ops import lz_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        s = 1 << seg_log2
+        self.n_segs = n_segs = max(1, -(-n // s))
+        blocks = np.zeros((n_segs, s), np.uint8)
+        blocks.reshape(-1)[:n] = x
+        self.blocks = jnp.asarray(blocks)
+        self.lens = jnp.asarray(
+            np.minimum(s, np.maximum(n - np.arange(n_segs) * s, 0))
+            .astype(np.int32))
+        t_cap = lz_ops._t_cap(s)
+        self.parse = lz_ops._parse_fn(n_segs, s, t_cap, True)
+        out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024
+        self.ser = lz_ops._serialize_fn(n_segs, s, t_cap, out_cap)
+        self._lz = lz_ops
+        self.s, self.t_cap, self.out_cap = s, t_cap, out_cap
+
+    def warm(self):
+        mpos, m_len, m_off, lit_start, n_match = self.parse(
+            self.blocks, self.lens)
+        payload, seg_sizes, total = self.ser(
+            self.blocks, self.lens, mpos, m_len, m_off, lit_start, n_match)
+        self.compressed = int(total) + 9 + 4 * self.n_segs
+        sizes = np.asarray(jax.device_get(seg_sizes)).astype(np.int64)
+        bases = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        c_cap = bucket(int(total) + 8)
+        self.walk = self._lz._walk_fn(self.n_segs, self.t_cap, c_cap)
+        comp = jnp.asarray(np.asarray(jax.device_get(payload)))
+        self._payload = comp
+        self._bases = jnp.asarray(bases.astype(np.int32))
+        self._ends = jnp.asarray((bases + sizes).astype(np.int32))
+        self._dec_out = self.walk(comp, self._bases, self._ends)
+
+    def _enc_body(self, p):
+        mpos, m_len, m_off, lit_start, n_match = self.parse(
+            self.blocks ^ p, self.lens)
+        payload, seg_sizes, total = self.ser(
+            self.blocks ^ p, self.lens, mpos, m_len, m_off, lit_start,
+            n_match)
+        return jnp.sum(seg_sizes, dtype=I32).astype(U32) + total.astype(U32)
+
+    def _dec_body(self, p):
+        out = self.walk(self._payload ^ p, self._bases, self._ends)
+        return jnp.sum(out[0] if isinstance(out, tuple) else out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        out = self._dec_out[0] if isinstance(self._dec_out, tuple) \
+            else self._dec_out
+        dec = np.asarray(jax.device_get(out)).reshape(self.n_segs, -1)
+        x = np.frombuffer(self.data, np.uint8)
+        got = dec.reshape(-1)[: 0]  # placeholder, fixed below
+        ok = True
+        s = self.s
+        for i in range(self.n_segs):
+            ln = min(s, self.n - i * s)
+            if not (dec[i, :ln] == x[i * s: i * s + ln]).all():
+                ok = False
+                break
+        return {"file": self.name, "codec": "slz4", "bytes": self.n,
+                "k": self.n_segs, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": ok}
+
+
+class BWTJob:
+    """Config 4 core: 32 KiB-block BWT forward + inverse kernels."""
+
+    def __init__(self, name: str, data: bytes, block_log2: int = 15):
+        from cpprcoder_tpu.ops import bwt_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        bs = 1 << block_log2
+        nb = max(1, n // bs)          # whole blocks only (tail is raw)
+        self.nb, self.bs = nb, bs
+        blocks = x[: nb * bs].reshape(nb, bs) if n >= bs else \
+            np.zeros((1, bs), np.uint8)
+        self.blocks = jnp.asarray(blocks)
+        self.fwd = bwt_ops._forward_fn(nb, bs)
+        self.inv = bwt_ops._inverse_fn(nb, bs)
+
+    def warm(self):
+        last, idx = self.fwd(self.blocks)
+        self._fwd_out = (last, idx)
+        self._inv_out = self.inv(last, idx)
+
+    def _enc_body(self, p):
+        last, idx = self.fwd(self.blocks ^ p)
+        return jnp.sum(last, dtype=U32) + jnp.sum(idx, dtype=U32)
+
+    def _dec_body(self, p):
+        last, idx = self._fwd_out
+        out = self.inv(last ^ p, idx)
+        return jnp.sum(out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        ok = bool(np.asarray(jax.device_get(
+            (self._inv_out == self.blocks).all())))
+        nbytes = self.nb * self.bs
+        return {"file": self.name, "codec": "bwt_core", "bytes": nbytes,
+                "k": self.nb, "compressed": nbytes + 2 * self.nb,
+                "ratio": 1.0,
+                "enc_MBps": nbytes / self.enc_t / 1e6,
+                "dec_MBps": nbytes / self.dec_t / 1e6,
+                "roundtrip_ok": ok}
+
+
+def main(files=None):
+    from cpprcoder_tpu.bench.harness import CANTERBURY, load
+    from cpprcoder_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    files = files or ["alice29.txt", "kennedy.xls", "ptt5"]
+    rows = []
+    for f in files:
+        data = load(f)
+        for cls in (RANSJob, HUFFJob, SLZ4Job, BWTJob):
+            job = cls(f, data)
+            job.warm()
+            job.run()
+            row = job.finalize()
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    with open("ALLCONFIGS.json", "w") as fh:
+        json.dump(rows, fh, indent=1)
+    return rows
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:] or None)

@@ -85,12 +85,25 @@ def _encode_fn(steps: int, k: int):
 
 @lru_cache(maxsize=64)
 def _stream_fn(slots: int, cap: int):
+    """Compact emitted u16 words into the stream.
+
+    One stable-by-unique-key sort (emitting slots keyed by their stream
+    rank, the rest pushed to the tail) — searchsorted + gather cost
+    ~165 ms/M queries on v5e, the sort ~1 ms (ops/compaction.py notes)."""
+
     @jax.jit
     def run(words, pstart, n_words):
+        # pstart is the exclusive cumsum of emit flags; a slot emits iff
+        # the next slot's pstart advanced (reconstruct without the flags)
+        nxt = jnp.concatenate([pstart[1:], n_words[None].astype(pstart.dtype)])
+        emits = nxt > pstart
+        keys = jnp.where(emits, pstart.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+        _, out = jax.lax.sort((keys, words), num_keys=1)
         positions = jnp.arange(cap, dtype=I32)
-        eid = jnp.clip(jnp.searchsorted(pstart, positions, side="right") - 1, 0)
-        out = jnp.where(positions < n_words, words[eid], jnp.uint16(0))
-        return out
+        padded = jnp.concatenate(
+            [out, jnp.zeros(max(cap - len(pstart), 0), jnp.uint16)])[:cap]
+        return jnp.where(positions < n_words, padded, jnp.uint16(0))
 
     return run
 
