@@ -67,39 +67,60 @@ class ByteWriter:
         return b"".join(self._parts)
 
 
+class CorruptContainerError(ValueError):
+    """A container header or payload is malformed/truncated. The reference
+    decoders signal this with -1/false returns and explicit bounds checks
+    (slz4.h:549-554, cpprcoder.h:474-491); here it is a typed exception so
+    callers can distinguish bad input from bugs."""
+
+
 class ByteReader:
-    """Sequential header reader over a bytes-like object."""
+    """Sequential header reader over a bytes-like object. Every read is
+    bounds-checked and raises CorruptContainerError on underrun (the
+    reference's decode-side bounds checks, e.g. slz4.h:549-554)."""
 
     def __init__(self, buf, pos: int = 0):
         self.buf = memoryview(bytes(buf) if isinstance(buf, bytearray) else buf)
         self.pos = pos
 
+    def _need(self, count: int):
+        if count < 0 or self.pos + count > len(self.buf):
+            raise CorruptContainerError(
+                f"container truncated: need {count} bytes at offset "
+                f"{self.pos}, have {len(self.buf) - self.pos}")
+
     def u8(self) -> int:
+        self._need(1)
         v = self.buf[self.pos]
         self.pos += 1
         return v
 
     def u16(self) -> int:
+        self._need(2)
         v = struct.unpack_from("<H", self.buf, self.pos)[0]
         self.pos += 2
         return v
 
     def u32(self) -> int:
+        self._need(4)
         v = struct.unpack_from("<I", self.buf, self.pos)[0]
         self.pos += 4
         return v
 
     def u16s(self, count: int) -> np.ndarray:
+        self._need(2 * count)
         v = np.frombuffer(self.buf, dtype="<u2", count=count, offset=self.pos)
         self.pos += 2 * count
         return v.astype(np.uint32)
 
     def u32s(self, count: int) -> np.ndarray:
+        self._need(4 * count)
         v = np.frombuffer(self.buf, dtype="<u4", count=count, offset=self.pos)
         self.pos += 4 * count
         return v.astype(np.uint32)
 
     def raw(self, count: int) -> np.ndarray:
+        self._need(count)
         v = np.frombuffer(self.buf, dtype=np.uint8, count=count, offset=self.pos)
         self.pos += count
         return v

@@ -236,11 +236,21 @@ def rcq_decode_jax(blob) -> bytes:
     inc = r.u8()
     climit_log2 = r.u8()
     qbits = r.u8()
-    assert qbits == QBITS, f"container qbits {qbits} != build {QBITS}"
+    if qbits != QBITS:
+        from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
+        raise CorruptContainerError(
+            f"container qbits {qbits} != build {QBITS}")
     if n == 0:
         return b""
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
     payload = r.rest()
+    if int(sizes.sum()) > len(payload):
+        from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
+        raise CorruptContainerError(
+            f"size table claims {int(sizes.sum())} payload bytes, "
+            f"container has {len(payload)}")
     p_cap = bucket(max(len(payload), 1))
     padded = np.zeros(p_cap, dtype=np.uint8)
     padded[: len(payload)] = payload

@@ -278,7 +278,11 @@ def rcq_decode_pallas(blob) -> bytes:
     inc = r.u8()
     climit_log2 = r.u8()
     qbits = r.u8()
-    assert qbits == QBITS, f"container qbits {qbits} != build {QBITS}"
+    if qbits != QBITS:
+        from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
+        raise CorruptContainerError(
+            f"container qbits {qbits} != build {QBITS}")
     if n == 0:
         return b""
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)

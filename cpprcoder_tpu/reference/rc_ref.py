@@ -98,7 +98,12 @@ def _lane_desc(k: int, wide_sizes: bool) -> int:
 
 
 def _parse_lane_desc(b: int) -> tuple[int, bool]:
-    return 1 << (b & 0x1F), bool(b & 0x80)
+    from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
+    log2k = b & 0x1F
+    if log2k > 16:
+        raise CorruptContainerError(f"absurd lane count 2^{log2k}")
+    return 1 << log2k, bool(b & 0x80)
 
 
 def _write_sizes(w: ByteWriter, sizes: list[int], wide: bool):
