@@ -486,3 +486,141 @@ int64_t ct_adaptive_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------- CT-RCQ
+// Quantized-model adaptive range coder (format: reference/rcq_ref.py;
+// model: cpprcoder_tpu/models/qmodel.py). The host verifier twin of the
+// JAX/Pallas backends: containers must be byte-identical.
+
+static const uint32_t kQBits = 15;
+static const uint32_t kQTotal = 1u << kQBits;
+static const uint32_t kQReserve = 256;
+
+static void rcq_quantize(const uint32_t* C, uint32_t* q) {
+  uint64_t tot = 0;
+  for (int i = 0; i < 256; ++i) tot += C[i];
+  uint32_t sum = 0;
+  for (int i = 0; i < 256; ++i) {
+    uint64_t num = static_cast<uint64_t>(C[i]) * (kQTotal - kQReserve);
+    uint32_t v = static_cast<uint32_t>(num / tot);
+    q[i] = v < 1 ? 1 : v;
+    sum += q[i];
+  }
+  uint32_t rem = kQTotal - sum;
+  int arg = 0;
+  for (int i = 1; i < 256; ++i)
+    if (q[i] > q[arg]) arg = i;   // first max
+  q[arg] += rem;
+}
+
+static void rcq_model_step(uint32_t* C, uint32_t climit, uint32_t* q,
+                           uint32_t* cums) {
+  uint64_t tot = 0;
+  for (int i = 0; i < 256; ++i) tot += C[i];
+  if (tot >= climit)
+    for (int i = 0; i < 256; ++i) C[i] = (C[i] >> 1) | 1;
+  rcq_quantize(C, q);
+  uint32_t acc = 0;
+  for (int i = 0; i < 256; ++i) {
+    cums[i] = acc;
+    acc += q[i];
+  }
+}
+
+extern "C" {
+
+int64_t ct_rcq_encode(const uint8_t* src, int64_t n, uint32_t k,
+                      uint32_t inc, uint32_t climit_log2, uint8_t* dst,
+                      int64_t cap) {
+  std::vector<uint8_t> hdr;
+  write_u32(hdr, static_cast<uint32_t>(n));
+  hdr.push_back(0);
+  hdr.push_back(static_cast<uint8_t>(inc));
+  hdr.push_back(static_cast<uint8_t>(climit_log2));
+  hdr.push_back(static_cast<uint8_t>(kQBits));
+  if (n == 0) {
+    if (cap < 8) return -1;
+    std::memcpy(dst, hdr.data(), 8);
+    dst[4] = lane_log2(k);
+    return 8;
+  }
+  const uint32_t climit = 1u << climit_log2;
+  std::vector<uint32_t> C(256, 1), q(256), cums(256);
+  std::vector<LaneEncoder> lanes(k);
+  int64_t steps = (n + k - 1) / k;
+  for (int64_t t = 0; t < steps; ++t) {
+    rcq_model_step(C.data(), climit, q.data(), cums.data());
+    int64_t base = t * k;
+    int64_t active = n - base < static_cast<int64_t>(k) ? n - base : k;
+    for (int64_t j = 0; j < active; ++j) {
+      LaneEncoder& e = lanes[j];
+      uint8_t s = src[base + j];
+      e.encode(cums[s], q[s], kQTotal, e.range >> kQBits);
+    }
+    for (int64_t j = 0; j < active; ++j) C[src[base + j]] += inc;
+  }
+  for (auto& l : lanes) l.finish();
+  return assemble(hdr, lanes, lane_log2(k), dst, cap);
+}
+
+int64_t ct_rcq_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
+                      int64_t cap) {
+  if (src_size < 8) return -1;
+  uint32_t n;
+  std::memcpy(&n, src, 4);
+  uint32_t k = 1u << (src[4] & 0x1F);
+  bool wide = (src[4] & 0x80) != 0;
+  uint32_t inc = src[5];
+  uint32_t climit = 1u << src[6];
+  if (src[7] != kQBits) return -1;
+  if (n == 0) return 0;
+  if (static_cast<int64_t>(n) > cap) return -1;
+  int64_t pos = 8;
+  std::vector<int64_t> sizes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    if (wide) {
+      if (pos + 4 > src_size) return -1;
+      uint32_t v;
+      std::memcpy(&v, src + pos, 4);
+      sizes[j] = v;
+      pos += 4;
+    } else {
+      if (pos + 2 > src_size) return -1;
+      sizes[j] = src[pos] | (src[pos + 1] << 8);
+      pos += 2;
+    }
+  }
+  std::vector<LaneDecoder> decs(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    if (pos + sizes[j] > src_size) return -1;
+    decs[j].init(src + pos, sizes[j]);
+    pos += sizes[j];
+  }
+  std::vector<uint32_t> C(256, 1), q(256), cums(256);
+  int64_t steps = (n + k - 1) / k;
+  for (int64_t t = 0; t < steps; ++t) {
+    rcq_model_step(C.data(), climit, q.data(), cums.data());
+    int64_t base = t * k;
+    int64_t active = n - base < static_cast<int64_t>(k) ? n - base : k;
+    for (int64_t j = 0; j < active; ++j) {
+      LaneDecoder& d = decs[j];
+      uint32_t tt = d.range >> kQBits;
+      // s = max{s : cums[s]*t <= code} (binary search, u64-exact)
+      int lo = 0, hi = 255;
+      while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (static_cast<uint64_t>(cums[mid]) * tt <= d.code)
+          lo = mid;
+        else
+          hi = mid - 1;
+      }
+      dst[base + j] = static_cast<uint8_t>(lo);
+      d.consume(cums[lo], q[lo], kQTotal, tt);
+    }
+    for (int64_t j = 0; j < active; ++j) C[dst[base + j]] += inc;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -38,3 +38,23 @@ def test_adaptive_stress_128mib():
     blob = native.adaptive_encode(big, 1024, 4, 18)
     assert native.adaptive_decode(blob) == big.tobytes()
     assert len(blob) / len(big) < 1.01
+
+
+def test_native_rcq_identity_and_roundtrip():
+    from cpprcoder_tpu import native
+    from cpprcoder_tpu.models.qmodel import rcq_params
+    from cpprcoder_tpu.reference import rcq_ref
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++/native lib")
+    rng = np.random.default_rng(11)
+    for data in (b"hello world " * 200,
+                 rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+                 b"\x00" * 3000):
+        k, inc, cl = rcq_params(len(data))
+        nat = native.rcq_encode(data, k, inc, cl)
+        ref = rcq_ref.rcq_encode(data, lanes=k, inc=inc, climit_log2=cl)
+        assert nat == ref
+        assert native.rcq_decode(nat) == data
