@@ -1,124 +1,129 @@
-"""Large-stream device benchmark (BASELINE Config 5 scale, single chip).
+"""Large-stream benchmark: MEASURED end-to-end, every superblock verified.
 
-Times one superblock with the in-jit repetition method (bench.timing) and
-scales by the superblock count — superblocks are identical independent work
-(that is the point of the CT-SB framing), so per-superblock device time ×
-count is the stream time. Verification covers every superblock, on device.
+Round 1 timed one superblock and multiplied by the count (VERDICT.md
+"What's weak" #5). This version actually drives the FULL stream through the
+device: every superblock is encoded, decoded, and byte-verified on device,
+with superblocks processed in batches of `batch` per jit dispatch so the
+tunnel's fixed per-dispatch cost amortizes. Two numbers are reported:
+
+  - stream_wall_s: wall clock for the whole loop (real, includes this dev
+    environment's tunnel dispatch+sync overhead — a lower bound on any
+    deployment's throughput);
+  - device time from the slope protocol on one batch (the production
+    number: per-dispatch overhead cancelled).
+
+Codec: CT-RCQ (Pallas backend). Superblocks are 1 MiB — the sort-based
+materializer's record capacity (ops/compaction.py) — which is also the
+CT-SB framing unit for distribution.
 """
 
 from __future__ import annotations
+
+import time
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cpprcoder_tpu.bench.timing import measure
-from cpprcoder_tpu.config import adaptive_params_for
-from cpprcoder_tpu.ops import range_ops, rans_ops
+from cpprcoder_tpu.models.qmodel import rcq_params
 from cpprcoder_tpu.utils.shapes import bucket
 
 U32 = jnp.uint32
+I32 = jnp.int32
 
 
-def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 25,
-                k: int = 8192, codec: str = "rans", seed: int = 0,
-                verify: bool = True, verify_blocks: int = 4) -> dict:
-    from cpprcoder_tpu.bench.device import _equal_count
+@lru_cache(maxsize=4)
+def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
+               batch: int):
+    from cpprcoder_tpu.ops import range_ops, rcq_ops, rcq_pallas
+
+    enc = rcq_pallas._encode_call(steps, k, inc, cl)
+    mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
+    rows_fn = rcq_ops._rows_fn(k, l4, cap)
+    dec = rcq_pallas._decode_call(steps, k, l4, inc, cl)
+
+    @jax.jit
+    def run_batch(x3d, n):
+        """x3d [batch, steps, k] -> (eq_counts [batch], totals [batch])."""
+        eqs, totals = [], []
+        for b in range(batch):
+            events_t, lane_sizes, total = enc(x3d[b], n)
+            payload, sizes = mat(events_t)
+            rows = rows_fn(payload, sizes.astype(I32))
+            out = dec(rows.T, n)
+            dec_syms = out[: steps].reshape(-1)
+            src = x3d[b].reshape(-1)
+            eqs.append(jnp.sum((dec_syms == src).astype(I32), dtype=I32))
+            totals.append(total)
+        return jnp.stack(eqs), jnp.stack(totals)
+
+    return run_batch
+
+
+def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
+                batch: int = 8, lanes: int = 2048, seed: int = 0) -> dict:
     from cpprcoder_tpu.bench.synth import synth_stream
 
     data = synth_stream(total_bytes, seed)
-    n_sb = -(-len(data) // superblock)
+    n = len(data)
+    n_sb = -(-n // superblock)
+    n_batches = -(-n_sb // batch)
+    k, inc, cl = rcq_params(superblock, lanes)
     steps = bucket(-(-superblock // k))
+    cap = bucket(superblock + (superblock >> 4) + 16 * k + 1024)
+    l4 = bucket((2 * steps + 8) // 4 + 2)
+    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch)
     nn = U32(superblock)
 
-    if codec == "rans":
-        enc = rans_ops._encode_fn(steps, k)
-        w_cap = bucket(superblock + 16 * k + 1024)
-        stream_fn = rans_ops._stream_fn(steps * k, w_cap)
-        dec = rans_ops._decode_fn(steps, k, w_cap)
+    # pad the stream to whole batches
+    padded = np.zeros(n_batches * batch * superblock, np.uint8)
+    padded[:n] = np.frombuffer(data, np.uint8)
 
-        def encode_sb(x2d):
-            states, emits, words, pstart, n_words, freqs = enc(x2d, nn)
-            stream = stream_fn(words, pstart, n_words)
-            return stream, states, freqs, n_words
+    def batch_arr(i):
+        seg = padded[i * batch * superblock:(i + 1) * batch * superblock]
+        out = np.zeros((batch, steps * k), np.uint8)
+        out[:, :superblock] = seg.reshape(batch, superblock)
+        return jnp.asarray(out.reshape(batch, steps, k))
 
-        def decode_sb(e):
-            return dec(e[0], e[1], e[2], nn)
+    # warm/compile on batch 0
+    x0 = batch_arr(0)
+    jax.block_until_ready(fn(x0, nn))
 
-        def comp_size(e):
-            return int(e[3]) * 2 + 512 + 4 * k + 9
+    # device time via the slope protocol on one batch
+    def body(p):
+        eqs, totals = fn(x0 ^ p, nn)
+        return (jnp.sum(eqs, dtype=I32).astype(U32)
+                + jnp.sum(totals, dtype=I32).astype(U32))
 
-    elif codec in ("adaptive", "static"):
-        cap = bucket(superblock + (superblock >> 4) + 16 * k + 1024)
-        if codec == "adaptive":
-            inc, ll = adaptive_params_for(k)
-            enc = range_ops._adaptive_encode_fn(steps, k, inc, ll)
-            dec = range_ops._adaptive_decode_fn(steps, k, inc, ll, cap)
-            n_slots = 2 if ll <= 16 else 3
-        else:
-            enc = range_ops._static_encode_fn(steps, k)
-            dec = range_ops._static_decode_fn(steps, k, cap)
-            n_slots = 2
-        mat = range_ops._materialize_fn(k, steps * n_slots + 2, cap)
+    t_batch = measure(body, 1, 3, repeats=4)
 
-        def encode_sb(x2d):
-            out = enc(x2d, nn)
-            payload, sizes = mat(out[0])
-            return (payload, sizes, out[2]) + tuple(out[3:])
+    # the REAL full-stream run: every superblock, verified
+    t0 = time.perf_counter()
+    total_comp = 0
+    eq_total = 0
+    for i in range(n_batches):
+        xb = batch_arr(i)
+        eqs, totals = fn(xb, nn)
+        eq_total += int(jnp.sum(eqs, dtype=jnp.int64))
+        total_comp += int(jnp.sum(totals, dtype=jnp.int64))
+    wall = time.perf_counter() - t0
 
-        def decode_sb(e):
-            if codec == "static":
-                return dec(e[0], e[1], e[3])
-            return dec(e[0], e[1], nn)
-
-        def comp_size(e):
-            return int(e[2]) + 2 * k + 9 + (512 if codec == "static" else 0)
-    else:
-        raise ValueError(codec)
-
-    # timing on superblock 0
-    x0 = jnp.asarray(range_ops._pad2d(data[:superblock], steps, k))
-    e0 = encode_sb(x0)
-
-    def enc_body(p):
-        e = encode_sb(x0 ^ p)
-        return jnp.sum(e[0].astype(U32)) + jnp.sum(e[1].astype(U32))
-
-    def dec_body(p):
-        out = decode_sb((e0[0] ^ p.astype(e0[0].dtype),) + e0[1:])
-        return jnp.sum(out, dtype=U32)
-
-    enc_t = measure(enc_body, 1, 3)
-    dec_t = measure(dec_body, 1, 3)
-
-    # ratio + verification over (a sample of) superblocks
-    comp = 0
-    ok = True
-    checked = 0
-    for i in range(n_sb):
-        chunk = data[i * superblock:(i + 1) * superblock]
-        if i == 0:
-            x2d, e = x0, e0
-        elif verify and checked < verify_blocks:
-            x2d = jnp.asarray(range_ops._pad2d(chunk, steps, k))
-            e = encode_sb(x2d)
-        else:
-            break
-        comp += comp_size(e)
-        if verify and checked < verify_blocks:
-            out = decode_sb(e)
-            nb = len(chunk)
-            eq = int(_equal_count(out.reshape(-1)[:nb], x2d.reshape(-1)[:nb]))
-            ok &= eq == nb
-            checked += 1
-    ratio = (comp / checked) * n_sb / len(data) if checked else float("nan")
+    ok = eq_total == n_batches * batch * steps * k
+    comp = total_comp + n_sb * (8 + 2 * k)
+    per_byte = 2 * batch * superblock  # enc+dec per batch
     return {
-        "codec": codec, "bytes": len(data), "k": k, "superblock": superblock,
-        "n_superblocks": n_sb, "ratio_est": ratio,
-        "enc_GBps": superblock / enc_t / 1e9,
-        "dec_GBps": superblock / dec_t / 1e9,
-        "stream_enc_s": enc_t * n_sb, "stream_dec_s": dec_t * n_sb,
-        "roundtrip_ok": ok, "verified_blocks": checked,
+        "codec": "rcq_pallas", "bytes": n, "superblock": superblock,
+        "k": k, "n_superblocks": n_sb, "batch": batch,
+        "ratio": comp / n,
+        "stream_wall_s": round(wall, 3),
+        "stream_wall_encdec_MBps": round(2 * n / wall / 1e6, 1),
+        "device_batch_s": t_batch,
+        "device_encdec_MBps": round(per_byte / t_batch / 1e6, 1)
+        if t_batch == t_batch else float("nan"),
+        "all_verified": bool(ok),
+        "verified_superblocks": n_batches * batch,
     }
 
 
@@ -126,8 +131,8 @@ if __name__ == "__main__":
     import json
     import sys
 
+    from cpprcoder_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 30
-    for codec in (sys.argv[2].split(",") if len(sys.argv) > 2
-                  else ["rans", "adaptive", "static"]):
-        print(json.dumps(bench_large(total_bytes=total, codec=codec)),
-              flush=True)
+    print(json.dumps(bench_large(total_bytes=total)), flush=True)
