@@ -25,7 +25,7 @@ import numpy as np
 
 from cpprcoder_tpu.bench.device import _equal_count
 from cpprcoder_tpu.bench.timing import (
-    OVERHEAD_EST, _min_wall, make_loop, measure)
+    OVERHEAD_EST, _min_wall, make_loop, measure, quantize_reps)
 from cpprcoder_tpu.utils.shapes import bucket
 
 U32 = jnp.uint32
@@ -33,11 +33,16 @@ I32 = jnp.int32
 
 
 def _auto_measure(body):
-    one = make_loop(body, 1)
-    int(one())
-    est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
-    hi = max(4, min(32, int(0.04 / est) + 1))
-    return measure(body, 1, hi, repeats=5)
+    from cpprcoder_tpu.bench.device import _retry_nan
+
+    def once():
+        one = make_loop(body, 1)
+        int(one())
+        est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
+        hi = quantize_reps(max(4, min(32, int(0.04 / est) + 1)))
+        return measure(body, 1, hi, repeats=5)
+
+    return _retry_nan(once)
 
 
 class RANSJob:

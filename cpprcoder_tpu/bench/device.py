@@ -28,6 +28,21 @@ def _equal_count(a, b):
     return (a.reshape(-1) == b.reshape(-1)).sum()
 
 
+def _retry_nan(measure_once, tries: int = 3) -> float:
+    """Re-run an unstable (NaN) slope measurement up to `tries` times.
+
+    Transient host/tunnel contention can destabilize one slope; a retry is
+    still an honest measurement. Returns NaN only if every try disagrees."""
+    import math
+
+    t = measure_once()
+    for _ in range(tries - 1):
+        if not math.isnan(t):
+            break
+        t = measure_once()
+    return t
+
+
 def _out_cap(n: int, k: int) -> int:
     # worst-case CT-RC payload: ~n bytes (incompressible) + per-lane flush
     return bucket(n + (n >> 4) + 16 * k + 1024)
@@ -88,8 +103,8 @@ class RCJob:
                                      self.nn)
 
     def run(self, reps_hi: int | None = None):
-        self.enc_t = measure(self._enc_body)
-        self.dec_t = measure(self._dec_body)
+        self.enc_t = _retry_nan(lambda: measure(self._enc_body))
+        self.dec_t = _retry_nan(lambda: measure(self._dec_body))
 
     def finalize(self) -> dict:
         eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
@@ -208,19 +223,20 @@ class RCQJob:
 
     def _measure(self, body):
         from cpprcoder_tpu.bench.timing import (
-            OVERHEAD_EST, _min_wall, make_loop)
+            OVERHEAD_EST, _min_wall, make_loop, quantize_reps)
 
         # size reps from a single-rep estimate, capped (each unrolled rep
-        # replicates the pallas program in the XLA graph = compile cost)
+        # replicates the pallas program in the XLA graph = compile cost);
+        # quantized so repeat runs reuse the compilation cache
         one = make_loop(body, 1)
         int(one())
         est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
-        hi = max(4, min(32, int(0.04 / est) + 1))
+        hi = quantize_reps(max(4, min(32, int(0.04 / est) + 1)))
         return measure(body, 1, hi, repeats=5)
 
     def run(self, reps_hi: int | None = None):
-        self.enc_t = self._measure(self._enc_body)
-        self.dec_t = self._measure(self._dec_body)
+        self.enc_t = _retry_nan(lambda: self._measure(self._enc_body))
+        self.dec_t = _retry_nan(lambda: self._measure(self._dec_body))
 
     def finalize(self) -> dict:
         eq = int(_equal_count(

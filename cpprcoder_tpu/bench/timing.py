@@ -72,11 +72,19 @@ def _min_wall(fn, repeats: int) -> float:
     return min(_wall(fn) for _ in range(repeats))
 
 
+def quantize_reps(r: int) -> int:
+    """Round a rep count up to a power of two. Every distinct unrolled rep
+    count is a distinct XLA program (20-40 s compile through the tunnel);
+    quantizing makes estimate-sized rep counts stable across runs so the
+    persistent compilation cache (utils/cache.py) hits."""
+    return 1 << max(0, (r - 1).bit_length())
+
+
 def pick_reps(single_wall: float) -> tuple[int, int]:
     """(reps_lo, reps_hi) so the wall gap is ~TARGET_GAP."""
     per_rep = max(single_wall - OVERHEAD_EST, 5e-4)
     d = max(2, min(MAX_REPS, math.ceil(TARGET_GAP / per_rep)))
-    return 1, 1 + d
+    return 1, 1 + quantize_reps(d)
 
 
 def measure(body_fn, reps_lo: int | None = None, reps_hi: int | None = None,

@@ -40,6 +40,13 @@ def main(argv=None):
 
     sub.add_parser("list")
 
+    for sp in (pc, pd):
+        sp.add_argument("--profile", action="store_true",
+                        help="print per-phase counters to stderr")
+        sp.add_argument("--shadow", action="store_true",
+                        help="verify encode with an independent shadow "
+                             "decode (divergence detection)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -57,6 +64,14 @@ def main(argv=None):
         return 0
 
     data = open(args.infile, "rb").read()
+    if args.profile:
+        from cpprcoder_tpu.utils import profiling
+
+        profiling.enable()
+    if args.shadow:
+        from cpprcoder_tpu import debug
+
+        debug.set_shadow(True)
     t0 = time.perf_counter()
     if args.cmd == "compress":
         if args.stages:
@@ -81,6 +96,10 @@ def main(argv=None):
         msg = f"{len(data)} -> {len(out)}"
     open(args.outfile, "wb").write(out)
     print(f"{msg} in {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    if args.profile:
+        from cpprcoder_tpu.utils import profiling
+
+        print(profiling.format_report(), file=sys.stderr)
     return 0
 
 

@@ -35,7 +35,12 @@ class Codec:
         self._decode = decode
 
     def encode(self, data, **opts) -> bytes:
-        return self._encode(data, **opts)
+        blob = self._encode(data, **opts)
+        from cpprcoder_tpu import debug
+
+        if debug.shadow_enabled():
+            debug.check_roundtrip(self, data, blob, opts)
+        return blob
 
     def decode(self, blob, **opts) -> bytes:
         return self._decode(blob, **opts)

@@ -152,26 +152,31 @@ def _materialize_t_fn(e: int, k: int, out_cap: int):
 
 
 def _encode_container(x, k, phase1, header_fn, time_major: bool = False):
+    from cpprcoder_tpu.utils import profiling
+
     n = len(x)
     steps = bucket(-(-n // k)) if n else 1
     assert steps * 3 + 2 < (1 << rc_common.EV_RUN_BITS), "superblock too large"
     x2d = _pad2d(x, steps, k)
-    events, lane_sizes, total, *extra = phase1(x2d)
-    total = int(total)
+    with profiling.phase("enc.scan", n):
+        events, lane_sizes, total, *extra = phase1(x2d)
+        total = int(total)
     out_cap = bucket(total)
-    if time_major:
-        payload, lane_sizes = _materialize_t_fn(
-            events.shape[0], k, out_cap)(events)
-    else:
-        payload, lane_sizes = _materialize_fn(
-            k, events.shape[1], out_cap)(events)
-    sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
-    payload_np = np.asarray(jax.device_get(payload))[:total]
-    wide = bool(sizes.max() >= 1 << 16) if len(sizes) else False
-    w = header_fn(wide, *[np.asarray(jax.device_get(e)) for e in extra])
-    _write_sizes(w, sizes.tolist(), wide)
-    w.raw(payload_np.tobytes())
-    return w.getvalue()
+    with profiling.phase("enc.materialize", total):
+        if time_major:
+            payload, lane_sizes = _materialize_t_fn(
+                events.shape[0], k, out_cap)(events)
+        else:
+            payload, lane_sizes = _materialize_fn(
+                k, events.shape[1], out_cap)(events)
+        sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
+        payload_np = np.asarray(jax.device_get(payload))[:total]
+    with profiling.phase("enc.assemble", total):
+        wide = bool(sizes.max() >= 1 << 16) if len(sizes) else False
+        w = header_fn(wide, *[np.asarray(jax.device_get(e)) for e in extra])
+        _write_sizes(w, sizes.tolist(), wide)
+        w.raw(payload_np.tobytes())
+        return w.getvalue()
 
 
 def static_encode_jax(data, lanes: int | None = None) -> bytes:

@@ -251,11 +251,17 @@ def rcq_decode_jax(blob) -> bytes:
         raise CorruptContainerError(
             f"size table claims {int(sizes.sum())} payload bytes, "
             f"container has {len(payload)}")
+    from cpprcoder_tpu.utils import profiling
+
     p_cap = bucket(max(len(payload), 1))
     padded = np.zeros(p_cap, dtype=np.uint8)
     padded[: len(payload)] = payload
     l4 = bucket(-(-int(sizes.max()) // 4) + 1)
-    rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded), jnp.asarray(sizes))
+    with profiling.phase("dec.rows", len(payload)):
+        rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded),
+                                        jnp.asarray(sizes))
     steps = bucket(-(-n // k))
-    out = _decode_fn(steps, k, inc, climit_log2, l4)(rows_w, U32(n))
-    return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()
+    with profiling.phase("dec.scan", n):
+        out = _decode_fn(steps, k, inc, climit_log2, l4)(rows_w, U32(n))
+    with profiling.phase("dec.fetch", n):
+        return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()
