@@ -36,14 +36,12 @@ def main():
     enable_compilation_cache()
     from cpprcoder_tpu.bench.device import RCQJob
     from cpprcoder_tpu.bench.harness import CANTERBURY, REF_RATIOS, load
-    from cpprcoder_tpu.models.qmodel import rcq_params
-
     rows = []
     for f in CANTERBURY:
         data = load(f)
-        k = rcq_params(len(data))[0]
-        backend = "pallas" if k >= 128 else "jax"
-        job = RCQJob(f, data, backend=backend)
+        # pallas for every file: containers with k < 128 run on a 128-wide
+        # grid with the extra lanes masked (format unchanged)
+        job = RCQJob(f, data, backend="pallas")
         job.warm()
         job.run()
         rows.append(job.finalize())

@@ -101,7 +101,17 @@ def to_markdown(d: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def main():
+def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if "--cpu" in argv:
+        # Ratios are measurement-independent and containers are
+        # backend-identical (tests/test_registry.py), so the table can be
+        # built on CPU JAX without occupying the TPU.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from cpprcoder_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -156,12 +156,14 @@ class RCQJob:
         self.n = n = len(x)
         k, inc0, cl0 = rcq_params(n, lanes)
         self.k, self.inc = k, inc if inc is not None else inc0
+        self.kp = max(k, rcq_pallas.MIN_LANES)
         self.cl = climit_log2 if climit_log2 is not None else cl0
         self.steps = steps = bucket(-(-n // k))
         self.x2d = jnp.asarray(range_ops._pad2d(x, steps, k))
         self.nn = U32(n)
         if backend == "pallas":
-            self.enc = rcq_pallas._encode_call(steps, k, self.inc, self.cl)
+            self.enc = rcq_pallas._encode_call(steps, k, self.kp, self.inc,
+                                               self.cl)
         else:
             self.enc = rcq_ops._encode_fn(steps, k, self.inc, self.cl)
         # the production wrapper (_encode_container) sizes the payload cap
@@ -213,7 +215,7 @@ class RCQJob:
             pl_, sz.astype(jnp.int32))
         if self.backend == "pallas":
             self.dec = self._rcq_pallas._decode_call(
-                self.steps, self.k, self.l4, self.inc, self.cl)
+                self.steps, self.k, self.kp, self.l4, self.inc, self.cl)
         else:
             self.dec = self._rcq_ops._decode_fn(
                 self.steps, self.k, self.inc, self.cl, self.l4)
@@ -232,7 +234,11 @@ class RCQJob:
         int(one())
         est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
         hi = quantize_reps(max(4, min(32, int(0.04 / est) + 1)))
-        return measure(body, 1, hi, repeats=5)
+        # sub-ms bodies can't open a TARGET_GAP-sized wall delta within the
+        # 32-rep compile budget; compensate with more min-walls (jitter is
+        # one-sided, min-of-9 cuts it well below the small gap)
+        reps = 5 if est > 2e-3 else 9
+        return measure(body, 1, hi, repeats=reps)
 
     def run(self, reps_hi: int | None = None):
         self.enc_t = _retry_nan(lambda: self._measure(self._enc_body))

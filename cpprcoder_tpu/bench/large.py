@@ -39,10 +39,11 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
                batch: int):
     from cpprcoder_tpu.ops import range_ops, rcq_ops, rcq_pallas
 
-    enc = rcq_pallas._encode_call(steps, k, inc, cl)
+    kp = max(k, rcq_pallas.MIN_LANES)
+    enc = rcq_pallas._encode_call(steps, k, kp, inc, cl)
     mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
     rows_fn = rcq_ops._rows_fn(k, l4, cap)
-    dec = rcq_pallas._decode_call(steps, k, l4, inc, cl)
+    dec = rcq_pallas._decode_call(steps, k, kp, l4, inc, cl)
 
     @jax.jit
     def run_batch(x3d, n):

@@ -51,60 +51,68 @@ def payload_layout(events):
     return pcnt.reshape(-1), pstart, dropped.reshape(-1), lane_sizes, total
 
 
+def _expand_sort(first, run_byte, pcnt, pstart, dropped, total, out_cap: int):
+    """Shared sort-based expansion over FLAT event fields [M].
+
+    Two SINGLE-u32-array sorts (key and payload packed into one word — a
+    tuple sort moves twice the bytes per pass, and this stage dominates
+    encode wall time):
+
+      1. merge-sort event records (key pstart<<10 | byte9) with position
+         records (key p<<10 | 1<<9): each position lands after its owning
+         event (the last contributing event with pstart <= p; contributing
+         events have UNIQUE pstart, and bit 9 orders events before their
+         first position);
+      2. forward-fill the owner's 9 payload bits with one cummax of
+         (sorted_index << 10 | bits) — monotone by construction;
+      3. a position's byte = owner's offset-0 byte if it directly follows
+         its event record, else the owner's run byte. The dropped-dummy
+         case needs no flag: a dropped event's offset-0 byte IS its run
+         byte, pre-substituted before packing;
+      4. a second single-u32 sort by (p<<8 | byte) extracts the payload.
+
+    Capacity: the cummax packs a record index with 9 payload bits, so
+    R = M + out_cap <= 2^22 (callers fall back to the searchsorted path
+    above this; superblock framing keeps real containers below it)."""
+    M = first.size
+    BIG = jnp.uint32(0xFFFFFFFF)
+    first_eff = jnp.where(dropped, run_byte, first).astype(U32)
+    val9 = first_eff | (run_byte.astype(U32) == 0).astype(U32) << 8
+    ev_keys = jnp.where(pcnt > 0, (pstart.astype(U32) << 10) | val9, BIG)
+    positions = jnp.arange(out_cap, dtype=U32)
+    keys = jnp.concatenate([ev_keys, (positions << 10) | U32(1 << 9)])
+    s = jax.lax.sort(keys)
+    is_ev = ((s >> 9) & 1) == 0          # excluded events (BIG) sort as
+    iota = jnp.arange(M + out_cap, dtype=U32)   # positions past the tail
+    fill = jax.lax.cummax(
+        jnp.where(is_ev, (iota << 10) | (s & U32(0x3FF)), U32(0)))
+    bits = fill & U32(0x1FF)
+    after_ev = jnp.concatenate([jnp.zeros(1, jnp.bool_), is_ev[:-1]])
+    byte = jnp.where(after_ev, bits & U32(0xFF),
+                     jnp.where((bits >> 8) & 1 > 0, U32(0x00), U32(0xFF)))
+    # positions to the front in p order; events (BIG) and the BIG records'
+    # p-field (2^22-1 > any real p, since out_cap <= 2^22 - M) to the tail
+    key2 = jnp.where(is_ev, BIG, ((s >> 10) << 8) | byte)
+    s2 = jax.lax.sort(key2)
+    out = jnp.where(positions < total.astype(U32),
+                    (s2 & U32(0xFF))[:out_cap], 0)
+    return out.astype(jnp.uint8)
+
+
 def materialize(events, out_cap: int):
     """Build the concatenated payload (static size out_cap ≥ total).
 
-    Returns (payload u8 [out_cap], lane_sizes i32 [K]).
-
-    Sort-based expansion (measured on v5e: lax.sort of 2M pairs ~1 ms vs
-    165 ms for a 1M-query searchsorted and ~7 ns/element for gathers — so
-    the expansion uses two sorts + a cummax and NO gathers):
-
-      1. merge-sort event-start records (key 2*pstart) with output-position
-         records (key 2*p+1): each position lands right after its owning
-         event (the last emitting event with pstart <= p);
-      2. forward-fill the owner along the sorted order with one cummax of
-         (sorted_index << 10 | event bits) — monotone by construction;
-      3. each position's byte = owner's first byte if the position record
-         directly follows its event record (and the event's dummy byte is
-         not dropped), else the owner's run byte;
-      4. a second sort by position extracts the payload in order.
-
-    Capacity: sorted_index needs R = K*E + out_cap <= 2^22 records (the
-    10-bit payload leaves 22 index bits); larger jobs fall back to the
-    searchsorted path (superblock framing keeps real containers below the
-    bound)."""
+    Returns (payload u8 [out_cap], lane_sizes i32 [K]). Expansion is the
+    sort-based _expand_sort (no gathers/scatters: XLA TPU scatters
+    serialize, searchsorted measured ~165 ms/M queries)."""
     M = events.size
     if M + out_cap > (1 << 22):
         return _materialize_searchsorted(events, out_cap)
-    emit, first, run_byte, _ = event_fields(events)
+    _, first, run_byte, _ = event_fields(events)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
-    BIG = jnp.uint32(0xFFFFFFFF)
-    ev_keys = jnp.where(pcnt > 0, pstart.astype(U32) * 2, BIG)
-    ev_vals = (first.reshape(-1).astype(U32)
-               | (run_byte.reshape(-1) == 0).astype(U32) << 8
-               | dropped.astype(U32) << 9)
-    positions = jnp.arange(out_cap, dtype=U32)
-    keys = jnp.concatenate([ev_keys, positions * 2 + 1])
-    # one combined payload: event bits (10) | is_event flag (bit 10)
-    vals = jnp.concatenate([ev_vals | U32(1 << 10), jnp.zeros(out_cap, U32)])
-    skeys, svals = jax.lax.sort((keys, vals), num_keys=1)
-    sev = (svals >> 10) & 1
-    r = M + out_cap
-    iota = jnp.arange(r, dtype=U32)
-    fill = jax.lax.cummax(
-        jnp.where(sev == 1, (iota << 10) | (svals & U32(0x3FF)), U32(0)))
-    bits = fill & U32(0x3FF)
-    after_ev = jnp.concatenate([jnp.zeros(1, U32), sev[:-1]]) == 1
-    first_b = bits & U32(0xFF)
-    run_b = jnp.where((bits >> 8) & 1, U32(0x00), U32(0xFF))
-    use_first = after_ev & (((bits >> 9) & 1) == 0)
-    byte = jnp.where(use_first, first_b, run_b)
-    # second sort: positions (key p) to the front in order, events to tail
-    key2 = jnp.where(sev == 0, skeys >> 1, BIG)
-    _, byte2 = jax.lax.sort((key2, byte), num_keys=1)
-    out = jnp.where(positions < total.astype(U32), byte2[:out_cap], 0)
-    return out.astype(jnp.uint8), lane_sizes
+    out = _expand_sort(first.reshape(-1), run_byte.reshape(-1), pcnt,
+                       pstart, dropped, total, out_cap)
+    return out, lane_sizes
 
 
 def _materialize_searchsorted(events, out_cap: int):
@@ -170,30 +178,10 @@ def materialize_t(events_t, out_cap: int, may_drop=True):
     M = events_t.size
     if M + out_cap > (1 << 22) and may_drop is True:
         return _materialize_searchsorted(events_t.T, out_cap)
-    emit, first, run_byte, _ = event_fields(events_t)
+    _, first, run_byte, _ = event_fields(events_t)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(
         events_t, may_drop)
-    BIG = jnp.uint32(0xFFFFFFFF)
-    ev_keys = jnp.where(pcnt.reshape(-1) > 0,
-                        pstart.reshape(-1).astype(U32) * 2, BIG)
-    ev_vals = (first.reshape(-1).astype(U32)
-               | (run_byte.reshape(-1) == 0).astype(U32) << 8
-               | dropped.reshape(-1).astype(U32) << 9)
-    positions = jnp.arange(out_cap, dtype=U32)
-    keys = jnp.concatenate([ev_keys, positions * 2 + 1])
-    vals = jnp.concatenate([ev_vals | U32(1 << 10), jnp.zeros(out_cap, U32)])
-    skeys, svals = jax.lax.sort((keys, vals), num_keys=1)
-    sev = (svals >> 10) & 1
-    iota = jnp.arange(M + out_cap, dtype=U32)
-    fill = jax.lax.cummax(
-        jnp.where(sev == 1, (iota << 10) | (svals & U32(0x3FF)), U32(0)))
-    bits = fill & U32(0x3FF)
-    after_ev = jnp.concatenate([jnp.zeros(1, U32), sev[:-1]]) == 1
-    first_b = bits & U32(0xFF)
-    run_b = jnp.where((bits >> 8) & 1, U32(0x00), U32(0xFF))
-    use_first = after_ev & (((bits >> 9) & 1) == 0)
-    byte = jnp.where(use_first, first_b, run_b)
-    key2 = jnp.where(sev == 0, skeys >> 1, BIG)
-    _, byte2 = jax.lax.sort((key2, byte), num_keys=1)
-    out = jnp.where(positions < total.astype(U32), byte2[:out_cap], 0)
-    return out.astype(jnp.uint8), lane_sizes
+    out = _expand_sort(first.reshape(-1), run_byte.reshape(-1),
+                       pcnt.reshape(-1), pstart.reshape(-1),
+                       dropped.reshape(-1), total, out_cap)
+    return out, lane_sizes

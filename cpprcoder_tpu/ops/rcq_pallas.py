@@ -51,7 +51,11 @@ F32 = jnp.float32
 
 N_SLOTS = 2
 SUB = 8                    # steps per grid program (min sublane block = 8)
-MIN_LANES = 128            # below this the XLA backend is used
+MIN_LANES = 128            # grid lane width floor: containers with k below
+#   this run on a 128-wide grid with lanes k..127 masked everywhere (they
+#   encode nothing, flush nothing, and are sliced off before compaction),
+#   so the container is byte-identical to the k-lane format while small
+#   files still get kernel-speed steps instead of the XLA scan
 VMEM_ROWS_CAP = 6 << 20    # decode word-rows VMEM budget (bytes)
 
 _INTERPRET = False         # set True (tests) to run kernels interpreted
@@ -146,7 +150,7 @@ def _lane_iota(k):
 
 def _decode_kernel(n_ref, rows_ref, out_ref,
                    rng_s, code_s, q0_s, q1_s, occ_s, widx_s, C_s,
-                   *, k: int, l4: int, inc: int, climit: int):
+                   *, k: int, kp: int, l4: int, inc: int, climit: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,12 +158,12 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
 
     @pl.when(pid == 0)
     def _init():
-        rng_s[:] = jnp.full((1, k), 0xFFFFFFFF, U32)
+        rng_s[:] = jnp.full((1, kp), 0xFFFFFFFF, U32)
         code_s[:] = pltpu.bitcast(rows_ref[0:1, :], U32)
-        q0_s[:] = jnp.zeros((1, k), U32)
-        q1_s[:] = jnp.zeros((1, k), U32)
-        occ_s[:] = jnp.zeros((1, k), U32)
-        widx_s[:] = jnp.ones((1, k), I32)
+        q0_s[:] = jnp.zeros((1, kp), U32)
+        q1_s[:] = jnp.zeros((1, kp), U32)
+        occ_s[:] = jnp.zeros((1, kp), U32)
+        widx_s[:] = jnp.ones((1, kp), I32)
         C_s[:] = jnp.ones((16, 16), I32)
 
     n = n_ref[0, 0]
@@ -170,8 +174,8 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
     occ = occ_s[:]
     widx = widx_s[:]
     C = C_s[:]
-    l4_iota = lax.broadcasted_iota(I32, (l4, k), 0)
-    lanes = _lane_iota(k)
+    l4_iota = lax.broadcasted_iota(I32, (l4, kp), 0)
+    lanes = _lane_iota(kp)
     rows = rows_ref[:]
     out_rows = []
 
@@ -191,17 +195,17 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
         widx = widx + need.astype(I32)
 
         C, q, cums_excl, chunk_cums = _model_tables(C, climit)
-        active = ((pid * SUB + j) * k + lanes) < n
+        active = (((pid * SUB + j) * k + lanes) < n) & (lanes < k)
 
         t = rng >> QBITS
         le_hi = chunk_cums.astype(U32) * t <= code             # [16,K]
         s_hi = jnp.sum(le_hi.astype(I32), axis=0, keepdims=True) - 1
-        oh_hi = ((_iota16_col_k(k) == s_hi) & active).astype(F32)
+        oh_hi = ((_iota16_col_k(kp) == s_hi) & active).astype(F32)
         row_c = _extract_rows(cums_excl, oh_hi)
         row_q = _extract_rows(q, oh_hi)
         le_lo = row_c.astype(U32) * t <= code
         s_lo = jnp.sum(le_lo.astype(I32), axis=0, keepdims=True) - 1
-        oh_lo = (_iota16_col_k(k) == s_lo).astype(F32)
+        oh_lo = (_iota16_col_k(kp) == s_lo).astype(F32)
         c = _pick(row_c, oh_lo)
         f = _pick(row_q, oh_lo)
         s = (s_hi << 4) | s_lo
@@ -231,40 +235,45 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
 
 
 @lru_cache(maxsize=64)
-def _decode_call(steps: int, k: int, l4: int, inc: int, climit_log2: int):
+def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
+                 climit_log2: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = partial(_decode_kernel, k=k, l4=l4, inc=inc,
+    kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
                    climit=1 << climit_log2)
     steps8 = -(-steps // SUB) * SUB
 
     @jax.jit
     def run(rows_wT, n):
-        return pl.pallas_call(
+        if kp > k:
+            rows_wT = jnp.concatenate(
+                [rows_wT, jnp.zeros((l4, kp - k), rows_wT.dtype)], axis=1)
+        out = pl.pallas_call(
             kern,
             grid=(steps8 // SUB,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((l4, k), lambda i: (0, 0),
+                pl.BlockSpec((l4, kp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((SUB, k), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((SUB, kp), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((steps8, k), I32),
+            out_shape=jax.ShapeDtypeStruct((steps8, kp), I32),
             scratch_shapes=[
-                pltpu.VMEM((1, k), U32),   # rng
-                pltpu.VMEM((1, k), U32),   # code
-                pltpu.VMEM((1, k), U32),   # q0
-                pltpu.VMEM((1, k), U32),   # q1
-                pltpu.VMEM((1, k), U32),   # occ
-                pltpu.VMEM((1, k), I32),   # widx
+                pltpu.VMEM((1, kp), U32),   # rng
+                pltpu.VMEM((1, kp), U32),   # code
+                pltpu.VMEM((1, kp), U32),   # q0
+                pltpu.VMEM((1, kp), U32),   # q1
+                pltpu.VMEM((1, kp), U32),   # occ
+                pltpu.VMEM((1, kp), I32),   # widx
                 pltpu.VMEM((16, 16), I32),  # C
             ],
             interpret=_INTERPRET,
         )(jnp.asarray(n, I32).reshape(1, 1),
           jax.lax.bitcast_convert_type(rows_wT, I32))
+        return out[:, :k]
 
     return run
 
@@ -287,7 +296,8 @@ def rcq_decode_pallas(blob) -> bytes:
         return b""
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
     l4 = bucket(-(-int(sizes.max()) // 4) + 1)
-    if k < MIN_LANES or l4 * k * 4 > VMEM_ROWS_CAP:
+    kp = max(k, MIN_LANES)
+    if l4 * kp * 4 > VMEM_ROWS_CAP:
         return rcq_decode_jax(blob)
     payload = r.rest()
     p_cap = bucket(max(len(payload), 1))
@@ -295,7 +305,7 @@ def rcq_decode_pallas(blob) -> bytes:
     padded[: len(payload)] = payload
     rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded), jnp.asarray(sizes))
     steps = bucket(-(-n // k))
-    out = _decode_call(steps, k, l4, inc, climit_log2)(rows_w.T, n)
+    out = _decode_call(steps, k, kp, l4, inc, climit_log2)(rows_w.T, n)
     return (np.asarray(jax.device_get(out)).astype(np.uint8)
             .reshape(-1)[:n].tobytes())
 
@@ -304,34 +314,34 @@ def rcq_decode_pallas(blob) -> bytes:
 
 def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
                    low_s, car_s, rng_s, cache_s, csz_s, C_s,
-                   *, k: int, inc: int, climit: int, steps: int):
+                   *, k: int, kp: int, inc: int, climit: int, steps: int):
     from jax.experimental import pallas as pl
 
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _init():
-        low_s[:] = jnp.zeros((1, k), U32)
-        car_s[:] = jnp.zeros((1, k), U32)
-        rng_s[:] = jnp.full((1, k), 0xFFFFFFFF, U32)
-        cache_s[:] = jnp.zeros((1, k), U32)
-        csz_s[:] = jnp.ones((1, k), U32)
+        low_s[:] = jnp.zeros((1, kp), U32)
+        car_s[:] = jnp.zeros((1, kp), U32)
+        rng_s[:] = jnp.full((1, kp), 0xFFFFFFFF, U32)
+        cache_s[:] = jnp.zeros((1, kp), U32)
+        csz_s[:] = jnp.ones((1, kp), U32)
         C_s[:] = jnp.ones((16, 16), I32)
 
     n = n_ref[0, 0]
     st = (low_s[:], car_s[:], rng_s[:], cache_s[:], csz_s[:])
     C = C_s[:]
-    lanes = _lane_iota(k)
+    lanes = _lane_iota(kp)
     ev_rows = []
 
     for j in range(SUB):
         C, q, cums_excl, chunk_cums = _model_tables(C, climit)
-        active = ((pid * SUB + j) * k + lanes) < n
-        syms = x_ref[j:j + 1, :]        # [1, K] i32
+        active = (((pid * SUB + j) * k + lanes) < n) & (lanes < k)
+        syms = x_ref[j:j + 1, :]        # [1, Kp] i32
         s_hi = syms >> 4
         s_lo = syms & 15
-        oh_hi = ((_iota16_col_k(k) == s_hi) & active).astype(F32)
-        oh_lo = (_iota16_col_k(k) == s_lo).astype(F32)
+        oh_hi = ((_iota16_col_k(kp) == s_hi) & active).astype(F32)
+        oh_lo = (_iota16_col_k(kp) == s_lo).astype(F32)
         row_c = _extract_rows(cums_excl, oh_hi)
         row_q = _extract_rows(q, oh_hi)
         c = _pick(row_c, oh_lo)
@@ -350,20 +360,23 @@ def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
 
     @pl.when(pid == pl.num_programs(0) - 1)
     def _flush():
-        fl = rc_common.flush(st)        # [2, 1, k]
-        # flush block is (8, k) for tile alignment; rows 2..7 are zero
+        fl = rc_common.flush(st)        # [2, 1, kp]
+        valid = lanes < k               # padded lanes must flush nothing
+        # flush block is (8, kp) for tile alignment; rows 2..7 are zero
         # events (no emission) and dropped by the caller
         fl_ref[:] = jnp.concatenate(
-            [fl[0], fl[1], jnp.zeros((SUB - 2, k), U32)], axis=0)
+            [jnp.where(valid, fl[0], U32(0)),
+             jnp.where(valid, fl[1], U32(0)),
+             jnp.zeros((SUB - 2, kp), U32)], axis=0)
 
 
 @lru_cache(maxsize=64)
-def _encode_call(steps: int, k: int, inc: int, climit_log2: int):
+def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = partial(_encode_kernel, k=k, inc=inc, climit=1 << climit_log2,
-                   steps=steps)
+    kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
+                   climit=1 << climit_log2, steps=steps)
     steps8 = -(-steps // SUB) * SUB
 
     @jax.jit
@@ -371,41 +384,45 @@ def _encode_call(steps: int, k: int, inc: int, climit_log2: int):
         pad = steps8 - x2d.shape[0]
         xp = jnp.concatenate(
             [x2d, jnp.zeros((pad, x2d.shape[1]), x2d.dtype)]) if pad else x2d
+        if kp > k:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((steps8, kp - k), xp.dtype)], axis=1)
         evs, fl = pl.pallas_call(
             kern,
             grid=(steps8 // SUB,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((SUB, k), lambda i: (i, 0),
+                pl.BlockSpec((SUB, kp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((2 * SUB, k), lambda i: (i, 0),
+                pl.BlockSpec((2 * SUB, kp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, k), lambda i: (0, 0),
+                pl.BlockSpec((8, kp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((2 * steps8, k), U32),
-                jax.ShapeDtypeStruct((8, k), U32),
+                jax.ShapeDtypeStruct((2 * steps8, kp), U32),
+                jax.ShapeDtypeStruct((8, kp), U32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((1, k), U32),    # low
-                pltpu.VMEM((1, k), U32),    # carry
-                pltpu.VMEM((1, k), U32),    # range
-                pltpu.VMEM((1, k), U32),    # cache
-                pltpu.VMEM((1, k), U32),    # cache_size
-                pltpu.VMEM((16, 16), I32),  # C
+                pltpu.VMEM((1, kp), U32),    # low
+                pltpu.VMEM((1, kp), U32),    # carry
+                pltpu.VMEM((1, kp), U32),    # range
+                pltpu.VMEM((1, kp), U32),    # cache
+                pltpu.VMEM((1, kp), U32),    # cache_size
+                pltpu.VMEM((16, 16), I32),   # C
             ],
             interpret=_INTERPRET,
         )(jnp.asarray(n, I32).reshape(1, 1), xp.astype(I32))
         # keep events TIME-MAJOR [E, K] (pad-step rows dropped: inactive
-        # lanes emit nothing); compaction has [E, K]-native twins, saving
-        # an 8-byte-per-symbol transpose
+        # lanes emit nothing; padded lanes k..kp-1 are masked in-kernel and
+        # sliced off here); compaction has [E, K]-native twins, saving an
+        # 8-byte-per-symbol transpose
         from cpprcoder_tpu.ops import compaction
 
-        events_t = jnp.concatenate([evs[: 2 * steps], fl[:2]])
+        events_t = jnp.concatenate([evs[: 2 * steps], fl[:2]])[:, :k]
         _, _, _, lane_sizes, total = compaction.payload_layout_t(events_t)
         return events_t, lane_sizes, total
 
@@ -414,21 +431,16 @@ def _encode_call(steps: int, k: int, inc: int, climit_log2: int):
 
 def rcq_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
                       climit_log2: int | None = None) -> bytes:
-    from cpprcoder_tpu.ops.rcq_ops import rcq_encode_jax
-
     x = as_u8(data)
     n = len(x)
     k, inc0, cl0 = rcq_params(n, lanes)
     inc = inc if inc is not None else inc0
     climit_log2 = climit_log2 if climit_log2 is not None else cl0
-    if k < MIN_LANES:
-        return rcq_encode_jax(data, lanes=k, inc=inc,
-                              climit_log2=climit_log2)
     if n == 0:
         return (ByteWriter().u32(0).u8(_lane_desc(k, False))
                 .u8(inc).u8(climit_log2).u8(QBITS).getvalue())
     steps = bucket(-(-n // k))
-    fn = _encode_call(steps, k, inc, climit_log2)
+    fn = _encode_call(steps, k, max(k, MIN_LANES), inc, climit_log2)
     phase1 = lambda x2d: fn(x2d, U32(n))
 
     def header(wide):

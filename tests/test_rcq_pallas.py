@@ -36,10 +36,20 @@ def test_pallas_decode_roundtrip(n):
     assert rcq_pallas.rcq_decode_pallas(blob) == data
 
 
-def test_pallas_small_input_falls_back():
-    data = b"tiny"
-    blob = rcq_pallas.rcq_encode_pallas(data)   # k < MIN_LANES -> XLA path
+def test_pallas_small_input_padded_lanes():
+    # k < MIN_LANES runs on a 128-wide padded grid; container identical
+    data = b"tiny tiny tiny tiny " * 12
+    blob = rcq_pallas.rcq_encode_pallas(data)
+    assert blob == rcq_ref.rcq_encode(data)
     assert rcq_pallas.rcq_decode_pallas(blob) == data
+
+
+@pytest.mark.parametrize("lanes", [32, 64])
+def test_pallas_padded_lane_identity(lanes):
+    data = _case(3000, seed=2)
+    blob_p = rcq_pallas.rcq_encode_pallas(data, lanes=lanes)
+    assert blob_p == rcq_ref.rcq_encode(data, lanes=lanes)
+    assert rcq_pallas.rcq_decode_pallas(blob_p) == data
 
 
 def test_pallas_corpus_file():
