@@ -43,6 +43,21 @@ def _retry_nan(measure_once, tries: int = 3) -> float:
     return t
 
 
+# Planning-rate estimates for DETERMINISTIC rep counts: reps are a function
+# of n only (never of a measured estimate), so the timing-loop programs are
+# byte-stable across runs and the persistent compilation cache always hits.
+ENC_RATE_EST = 1.0e8     # bytes/s
+DEC_RATE_EST = 4.0e8
+FLOOR_EST = 5e-4         # in-jit per-rep floor for tiny bodies, seconds
+
+
+def det_reps(n: int, rate: float) -> int:
+    from cpprcoder_tpu.bench.timing import quantize_reps
+
+    est = max(n / rate, FLOOR_EST)
+    return quantize_reps(max(4, min(32, int(0.06 / est) + 1)))
+
+
 def _out_cap(n: int, k: int) -> int:
     # worst-case CT-RC payload: ~n bytes (incompressible) + per-lane flush
     return bucket(n + (n >> 4) + 16 * k + 1024)
@@ -223,26 +238,43 @@ class RCQJob:
                 self.k, self.l4, self.cap)(pl_, sz.astype(jnp.int32))
         self._dec_out = self._dec_full(payload, sizes)
 
-    def _measure(self, body):
-        from cpprcoder_tpu.bench.timing import (
-            OVERHEAD_EST, _min_wall, make_loop, quantize_reps)
+    def _measure(self, body, rate):
+        """Deterministic-reps slope with an honest wall-bound fallback.
 
-        # size reps from a single-rep estimate, capped (each unrolled rep
-        # replicates the pallas program in the XLA graph = compile cost);
-        # quantized so repeat runs reuse the compilation cache
-        one = make_loop(body, 1)
-        int(one())
-        est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
-        hi = quantize_reps(max(4, min(32, int(0.04 / est) + 1)))
+        The slope protocol (timing.measure) returns NaN when walls disagree;
+        a NaN row zeroed the whole round-2 driver metric. The fallback here
+        never fabricates: min-wall(hi_loop)/hi INCLUDES the ~22 ms constant
+        dispatch+fetch overhead, i.e. it is an upper bound on time per rep
+        → a LOWER bound on throughput. Returns (seconds, how)."""
+        import math
+
+        from cpprcoder_tpu.bench.timing import _min_wall, make_loop
+
+        hi = det_reps(self.n, rate)
         # sub-ms bodies can't open a TARGET_GAP-sized wall delta within the
         # 32-rep compile budget; compensate with more min-walls (jitter is
         # one-sided, min-of-9 cuts it well below the small gap)
-        reps = 5 if est > 2e-3 else 9
-        return measure(body, 1, hi, repeats=reps)
+        reps = 5 if self.n > 300_000 else 9
+        t = _retry_nan(lambda: measure(body, 1, hi, repeats=reps), tries=2)
+        if not math.isnan(t):
+            return t, "slope"
+        loop = make_loop(body, hi)
+        int(loop())
+        return _min_wall(loop, reps) / hi, "wall_ub"
+
+    def warm_timing(self):
+        """Compile (only) every timing-loop program this job will run, so a
+        later measured run is compile-free (bench.py --warm build step)."""
+        from cpprcoder_tpu.bench.timing import make_loop
+
+        for body, rate in ((self._enc_body, ENC_RATE_EST),
+                           (self._dec_body, DEC_RATE_EST)):
+            for r in (1, det_reps(self.n, rate)):
+                int(make_loop(body, r)())
 
     def run(self, reps_hi: int | None = None):
-        self.enc_t = _retry_nan(lambda: self._measure(self._enc_body))
-        self.dec_t = _retry_nan(lambda: self._measure(self._dec_body))
+        self.enc_t, self.enc_how = self._measure(self._enc_body, ENC_RATE_EST)
+        self.dec_t, self.dec_how = self._measure(self._dec_body, DEC_RATE_EST)
 
     def finalize(self) -> dict:
         eq = int(_equal_count(
@@ -256,5 +288,7 @@ class RCQJob:
             "ratio": comp / self.n,
             "enc_MBps": self.n / self.enc_t / 1e6,
             "dec_MBps": self.n / self.dec_t / 1e6,
+            "timing": [getattr(self, "enc_how", "slope"),
+                       getattr(self, "dec_how", "slope")],
             "roundtrip_ok": eq == self.n,
         }

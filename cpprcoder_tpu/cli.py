@@ -43,9 +43,11 @@ def main(argv=None):
     for sp in (pc, pd):
         sp.add_argument("--profile", action="store_true",
                         help="print per-phase counters to stderr")
-        sp.add_argument("--shadow", action="store_true",
-                        help="verify encode with an independent shadow "
-                             "decode (divergence detection)")
+    # shadow verification hooks Codec.encode only, so the flag belongs to
+    # compress alone (on decompress it would be a silent no-op)
+    pc.add_argument("--shadow", action="store_true",
+                    help="verify encode with an independent shadow "
+                         "decode (divergence detection)")
 
     args = p.parse_args(argv)
 
@@ -68,7 +70,7 @@ def main(argv=None):
         from cpprcoder_tpu.utils import profiling
 
         profiling.enable()
-    if args.shadow:
+    if getattr(args, "shadow", False):
         from cpprcoder_tpu import debug
 
         debug.set_shadow(True)

@@ -52,11 +52,20 @@ def check_roundtrip(codec, data, blob, encode_opts: dict) -> None:
 
     from cpprcoder_tpu.core.bytesutil import as_u8
 
+    import inspect
+
     want = np.asarray(as_u8(data))
-    backend = _shadow_backend(encode_opts.get("backend"))
+    # detect backend support explicitly (a TypeError raised INSIDE a
+    # backend-aware decode must propagate, not silently degrade the
+    # independent-backend property)
     try:
+        has_backend = "backend" in inspect.signature(codec._decode).parameters
+    except (TypeError, ValueError):
+        has_backend = False
+    if has_backend:
+        backend = _shadow_backend(encode_opts.get("backend"))
         got_b = codec._decode(blob, backend=backend)
-    except TypeError:  # codec without backend twins (e.g. CT-PIPE, CT-SB)
+    else:  # codec without backend twins (e.g. CT-PIPE, CT-SB)
         backend = "default"
         got_b = codec._decode(blob)
     got = np.frombuffer(got_b, dtype=np.uint8)

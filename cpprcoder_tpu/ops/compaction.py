@@ -30,23 +30,30 @@ def event_fields(events):
     return emit, first, run_byte, run_len
 
 
-def payload_layout(events):
+def payload_layout(events, may_drop=True):
     """events [K, E] → (pcnt, pstart, dropped, lane_sizes, total).
 
     pcnt: payload bytes per event (dummy byte removed from each lane's first
     emitting event); pstart: exclusive cumsum over the flattened (lane-major)
-    event grid — i.e. each event's start offset in the final payload."""
+    event grid — i.e. each event's start offset in the final payload.
+
+    may_drop: True (one-shot encode), or a [K] bool mask for CONTINUATION
+    chunks of a resumable encode (see payload_layout_t)."""
     emit, _, _, run_len = event_fields(events)
     cnt = jnp.where(emit, 1 + run_len, 0).astype(I32)
     cum_lane = jnp.cumsum(cnt, axis=1)
     # the lane's first emitting event is the one with zero emitted before it
     prior = cum_lane - cnt
-    dropped = emit & (prior == 0)
+    first_emit = emit & (prior == 0)
+    if isinstance(may_drop, bool):
+        dropped = first_emit if may_drop else jnp.zeros_like(emit)
+    else:
+        dropped = first_emit & may_drop[:, None]
     pcnt = cnt - dropped.astype(I32)
     flat = pcnt.reshape(-1)
     cum = jnp.cumsum(flat)
     pstart = (cum - flat)
-    lane_sizes = jnp.maximum(cum_lane[:, -1] - 1, 0)
+    lane_sizes = cum_lane[:, -1] - dropped.sum(axis=1, dtype=I32)
     total = cum[-1]
     return pcnt.reshape(-1), pstart, dropped.reshape(-1), lane_sizes, total
 
@@ -99,27 +106,110 @@ def _expand_sort(first, run_byte, pcnt, pstart, dropped, total, out_cap: int):
     return out.astype(jnp.uint8)
 
 
+# ------------------------------------------------- bitonic merge expansion
+#
+# _expand_sort pays two full lax.sort passes (log^2 N compare-exchange
+# stages) over M events + out_cap positions. But BOTH record streams are
+# already sorted by key: event pstarts are non-decreasing in lane-major
+# order (within a lane pstart grows with time; lane i's payload region
+# precedes lane i+1's), and positions are an iota. Expansion is therefore a
+# MERGE of two sorted sequences — log N bitonic-merge stages — and the
+# "extract positions in p order" step (the second sort) is free: replaying
+# the recorded compare-exchange decisions BACKWARDS returns every record to
+# its pre-merge slot, carrying the assigned byte. ~20x fewer passes than
+# two sorts; this stage dominated encode wall time (VERDICT r2 weakness 3).
+
+def _bitonic_merge(keys):
+    """Sort a bitonic (ascending-then-descending) power-of-2 u32 array.
+
+    Returns (sorted_keys, swap_masks); masks replay the permutation."""
+    R2 = keys.shape[0]
+    swaps = []
+    d = R2 // 2
+    while d >= 1:
+        k2 = keys.reshape(-1, 2, d)
+        a, b = k2[:, 0], k2[:, 1]
+        sw = a > b
+        swaps.append(sw)
+        keys = jnp.stack([jnp.where(sw, b, a), jnp.where(sw, a, b)],
+                         axis=1).reshape(R2)
+        d //= 2
+    return keys, swaps
+
+
+def _bitonic_unmerge(vals, swaps):
+    """Replay recorded swaps in reverse: vals return to pre-merge slots."""
+    R2 = vals.shape[0]
+    d = 1
+    for sw in reversed(swaps):
+        v2 = vals.reshape(-1, 2, d)
+        a, b = v2[:, 0], v2[:, 1]
+        vals = jnp.stack([jnp.where(sw, b, a), jnp.where(sw, a, b)],
+                         axis=1).reshape(R2)
+        d *= 2
+    return vals
+
+
+def _expand_merge(first, run_byte, pcnt, pstart, dropped, total,
+                  out_cap: int):
+    """Merge-based expansion over FLAT LANE-MAJOR event fields [M].
+
+    PRECONDITION: pstart is non-decreasing over the flat order (lane-major
+    flattening gives this; the time-major twins transpose first).
+
+    Record key: pstart<<10 | tag, with tag 0 = non-contributing event,
+    1..512 = contributing event (tag = val9+1, val9 = runflag<<8 | first
+    byte — unique per pstart since contributing pstarts are unique),
+    1023 = position p (key p<<10|1023 sorts after the owning event).
+    Owner forward-fill = cummax over contributing keys (monotone).
+    Capacity: pstart < 2^22, same bound as _expand_sort."""
+    M = first.size
+    first_eff = jnp.where(dropped, run_byte, first).astype(U32)
+    val9 = first_eff | ((run_byte.astype(U32) == 0).astype(U32) << 8)
+    contrib = pcnt > 0
+    ev_keys = (pstart.astype(U32) << 10) | jnp.where(contrib, val9 + 1,
+                                                     U32(0))
+    R2 = 1 << (M + out_cap - 1).bit_length()
+    positions = jnp.arange(out_cap, dtype=U32)
+    pos_keys = (positions << 10) | U32(1023)
+    pad = jnp.full(R2 - M - out_cap, 0xFFFFFFFF, U32)
+    arr = jnp.concatenate([ev_keys, jnp.concatenate([pos_keys, pad])[::-1]])
+    s, swaps = _bitonic_merge(arr)
+
+    tag = s & U32(1023)
+    is_contrib = (tag >= 1) & (tag <= 512)
+    fill = jax.lax.cummax(jnp.where(is_contrib, s, U32(0)))
+    p = s >> 10
+    v9 = (fill & U32(1023)) - 1  # val9 of the owner (runflag<<8 | first)
+    byte = jnp.where(p == (fill >> 10), v9 & U32(0xFF),
+                     jnp.where((v9 >> 8) & 1 > 0, U32(0x00), U32(0xFF)))
+    byte = jnp.where(p < total.astype(U32), byte, U32(0))
+    back = _bitonic_unmerge(jnp.where(tag == 1023, byte, U32(0)), swaps)
+    out = back[M:][::-1][:out_cap]
+    return out.astype(jnp.uint8)
+
+
 def materialize(events, out_cap: int):
     """Build the concatenated payload (static size out_cap ≥ total).
 
     Returns (payload u8 [out_cap], lane_sizes i32 [K]). Expansion is the
-    sort-based _expand_sort (no gathers/scatters: XLA TPU scatters
+    merge-based _expand_merge (no gathers/scatters: XLA TPU scatters
     serialize, searchsorted measured ~165 ms/M queries)."""
     M = events.size
     if M + out_cap > (1 << 22):
         return _materialize_searchsorted(events, out_cap)
     _, first, run_byte, _ = event_fields(events)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
-    out = _expand_sort(first.reshape(-1), run_byte.reshape(-1), pcnt,
-                       pstart, dropped, total, out_cap)
+    out = _expand_merge(first.reshape(-1), run_byte.reshape(-1), pcnt,
+                        pstart, dropped, total, out_cap)
     return out, lane_sizes
 
 
-def _materialize_searchsorted(events, out_cap: int):
+def _materialize_searchsorted(events, out_cap: int, may_drop=True):
     """Original gather-based expansion (fallback above the sort-capacity
     bound; also the readable spec the sort path is tested against)."""
     emit, first, run_byte, _ = event_fields(events)
-    pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
+    pcnt, pstart, dropped, lane_sizes, total = payload_layout(events, may_drop)
     # event start positions: non-contributing events share the next event's
     # start; searchsorted(side='right')-1 then picks the last (the owner).
     positions = jnp.arange(out_cap, dtype=I32)
@@ -174,14 +264,20 @@ def payload_layout_t(events_t, may_drop=True):
 
 
 def materialize_t(events_t, out_cap: int, may_drop=True):
-    """materialize() twin for time-major [E, K] event grids."""
+    """materialize() twin for time-major [E, K] event grids.
+
+    The merge path needs lane-major (non-decreasing pstart) flattening, so
+    the [E, K] fields are transposed first — one u32 transpose instead of
+    the two full sorts this replaced."""
     M = events_t.size
-    if M + out_cap > (1 << 22) and may_drop is True:
-        return _materialize_searchsorted(events_t.T, out_cap)
+    if M + out_cap > (1 << 22):
+        # above the merge path's pstart<<10 key-packing capacity; the
+        # searchsorted fallback covers every may_drop flavor (bool or mask)
+        return _materialize_searchsorted(events_t.T, out_cap, may_drop)
     _, first, run_byte, _ = event_fields(events_t)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(
         events_t, may_drop)
-    out = _expand_sort(first.reshape(-1), run_byte.reshape(-1),
-                       pcnt.reshape(-1), pstart.reshape(-1),
-                       dropped.reshape(-1), total, out_cap)
+    out = _expand_merge(first.T.reshape(-1), run_byte.T.reshape(-1),
+                        pcnt.T.reshape(-1), pstart.T.reshape(-1),
+                        dropped.T.reshape(-1), total, out_cap)
     return out, lane_sizes

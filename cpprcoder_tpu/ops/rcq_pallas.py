@@ -299,15 +299,24 @@ def rcq_decode_pallas(blob) -> bytes:
     kp = max(k, MIN_LANES)
     if l4 * kp * 4 > VMEM_ROWS_CAP:
         return rcq_decode_jax(blob)
+    from cpprcoder_tpu.utils import profiling
+
     payload = r.rest()
     p_cap = bucket(max(len(payload), 1))
     padded = np.zeros(p_cap, dtype=np.uint8)
     padded[: len(payload)] = payload
-    rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded), jnp.asarray(sizes))
+    # same phase names as rcq_decode_jax so --profile reports either backend
+    with profiling.phase("dec.rows", len(payload)):
+        rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded),
+                                        jnp.asarray(sizes))
+        rows_wT = rows_w.T
     steps = bucket(-(-n // k))
-    out = _decode_call(steps, k, kp, l4, inc, climit_log2)(rows_w.T, n)
-    return (np.asarray(jax.device_get(out)).astype(np.uint8)
-            .reshape(-1)[:n].tobytes())
+    with profiling.phase("dec.scan", n):
+        out = _decode_call(steps, k, kp, l4, inc, climit_log2)(rows_wT, n)
+    with profiling.phase("dec.fetch", n):
+        res = (np.asarray(jax.device_get(out)).astype(np.uint8)
+               .reshape(-1)[:n].tobytes())
+    return res
 
 
 # ------------------------------------------------------------------ encode
