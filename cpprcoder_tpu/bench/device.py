@@ -152,6 +152,125 @@ def bench_corpus(kinds=("static", "adaptive"), files=None,
     return results
 
 
+class RCXJob:
+    """One file x CT-RCX (context-model flagship) under the tunnel-safe
+    protocol. Chunked lane layout: verification reassembles the byte order
+    (lane i owns x[i*stride:(i+1)*stride]) before comparing.
+
+    backend: "pallas" (TPU kernels) or "jax" (XLA scan). Timed bodies cover
+    the full device pipeline, exactly like RCQJob."""
+
+    def __init__(self, name: str, data: bytes, backend: str = "pallas",
+                 lanes: int | None = None, inc: int | None = None,
+                 climit_log2: int | None = None, cbits: int | None = None):
+        from cpprcoder_tpu.models.cxmodel import rcx_params
+        from cpprcoder_tpu.ops import range_ops, rcx_ops, rcx_pallas
+        from cpprcoder_tpu.utils.shapes import bucket
+
+        self.name, self.data, self.backend = name, data, backend
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        k, inc, cl, cbits = rcx_params(n, lanes, inc, cbits)
+        self.k, self.inc, self.cl, self.cbits = k, inc, cl, cbits
+        self.kp = max(k, rcx_pallas.MIN_LANES)
+        self.stride = stride = -(-n // k)
+        self.steps = steps = bucket(stride)
+        self.x2d = jnp.asarray(rcx_ops._pad2d_chunked(x, steps, k, stride))
+        self.nn = U32(n)
+        if backend == "pallas":
+            self.enc = rcx_pallas._encode_call(steps, k, self.kp, inc, cl,
+                                               cbits, stride)
+        else:
+            self.enc = rcx_ops._encode_fn(steps, k, inc, cl, cbits, stride)
+        total0 = int(self.enc(self.x2d, self.nn)[2])
+        self.cap = cap = bucket(total0 + 8)
+        if backend == "pallas":
+            self.mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
+        else:
+            self.mat = range_ops._materialize_fn(k, steps * 2 + 2, cap)
+        self._rcx_ops = rcx_ops
+        self._rcx_pallas = rcx_pallas
+        self._bucket = bucket
+        self.hdr = 9 + 2 * k
+        self.enc_t = self.dec_t = None
+
+    def _encode_full(self, x2d):
+        events, lane_sizes, total = self.enc(x2d, self.nn)
+        payload, sizes = self.mat(events)
+        return payload, sizes, total
+
+    def _enc_body(self, p):
+        e = self._encode_full(self.x2d ^ p)
+        return jnp.sum(e[0], dtype=U32) + jnp.sum(e[1], dtype=U32)
+
+    def _dec_full(self, payload, sizes):
+        rows = self._rows(payload, sizes)
+        if self.backend == "pallas":
+            return self.dec(rows.T, jnp.int32(self.n))
+        return self.dec(rows, self.nn)
+
+    def _dec_body(self, p):
+        payload, sizes, _ = self._enc_out
+        out = self._dec_full(payload ^ p, sizes)
+        return jnp.sum(out, dtype=jnp.int32).astype(U32)
+
+    def warm(self):
+        from cpprcoder_tpu.ops.rcq_ops import _rows_fn
+
+        self._enc_out = self._encode_full(self.x2d)
+        payload, sizes, total = self._enc_out
+        max_sz = int(np.asarray(jax.device_get(sizes)).max())
+        self.l4 = self._bucket(-(-max_sz // 4) + 1)
+        self._rows = lambda pl_, sz: _rows_fn(self.k, self.l4, self.cap)(
+            pl_, sz.astype(jnp.int32))
+        if self.backend == "pallas":
+            self.dec = self._rcx_pallas._decode_call(
+                self.steps, self.k, self.kp, self.l4, self.inc, self.cl,
+                self.cbits, self.stride)
+        else:
+            self.dec = self._rcx_ops._decode_fn(
+                self.steps, self.k, self.inc, self.cl, self.cbits,
+                self.stride, self.l4)
+        self._dec_out = self._dec_full(payload, sizes)
+
+    def warm_timing(self):
+        from cpprcoder_tpu.bench.timing import make_loop
+
+        for body, rate in ((self._enc_body, ENC_RATE_EST),
+                           (self._dec_body, DEC_RATE_EST)):
+            for r in (1, det_reps(self.n, rate)):
+                int(make_loop(body, r)())
+
+    def run(self, reps_hi: int | None = None):
+        self.enc_t, self.enc_how = self._measure(self._enc_body,
+                                                 ENC_RATE_EST)
+        self.dec_t, self.dec_how = self._measure(self._dec_body,
+                                                 DEC_RATE_EST)
+
+    def finalize(self) -> dict:
+        # chunked layout: both sides are [steps, k] in the same layout, but
+        # tail cells are garbage on the decode side — compare active cells
+        dec = self._dec_out[: self.steps, : self.k].astype(jnp.int32)
+        src = self.x2d[: self.steps, : self.k].astype(jnp.int32)
+        st, k, n = self.stride, self.k, self.n
+        lanes = jnp.arange(k, dtype=jnp.int32)[None, :]
+        jrow = jnp.arange(self.steps, dtype=jnp.int32)[:, None]
+        act = (jrow < st) & (lanes * st + jrow < n)
+        eq = int(jnp.sum(jnp.where(act, dec == src, True)))
+        total = int(self._enc_out[2])
+        comp = total + self.hdr
+        return {
+            "file": self.name, "codec": f"rcx_{self.backend}",
+            "bytes": self.n, "k": self.k, "cbits": self.cbits,
+            "compressed": comp, "ratio": comp / self.n,
+            "enc_MBps": self.n / self.enc_t / 1e6,
+            "dec_MBps": self.n / self.dec_t / 1e6,
+            "timing": [getattr(self, "enc_how", "slope"),
+                       getattr(self, "dec_how", "slope")],
+            "roundtrip_ok": eq == dec.size,
+        }
+
+
 class RCQJob:
     """One file x CT-RCQ under the tunnel-safe protocol.
 
@@ -292,3 +411,7 @@ class RCQJob:
                        getattr(self, "dec_how", "slope")],
             "roundtrip_ok": eq == self.n,
         }
+
+
+# the slope-with-wall-bound measurement protocol is identical for both jobs
+RCXJob._measure = RCQJob._measure

@@ -16,6 +16,7 @@ Codec ids (stable, used by CT-PIPE containers):
    12 rle0           CT-RLE0
    13 adaptive_rans  CT-ANS2
    14 rcq            CT-RCQ (quantized-model adaptive range coder)
+   15 rcx            CT-RCX (context-conditioned quantized adaptive RC)
 """
 
 from __future__ import annotations
@@ -100,6 +101,7 @@ def _ensure_loaded():
         adaptive_rans,
         rle0,
         rcq,
+        rcx,
         pipeline,
         stream,
     )

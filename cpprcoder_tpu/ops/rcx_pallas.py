@@ -1,0 +1,483 @@
+"""Pallas TPU kernels for CT-RCX (format: reference/rcx_ref.py).
+
+Same full-loop-in-kernel design as CT-RCQ (ops/rcq_pallas.py — grid over
+window steps, VMEM scratch carries lane state and the model, SUB steps per
+program), extended with the order-1 context model:
+
+  - model C [B, 256] i32 (B = 2^cbits context rows) lives in VMEM scratch;
+    per step every row rescales/quantizes (15-round unrolled long division
+    with a PER-ROW divisor — broadcast [B,1] over [B,256]) and row-cumsums
+    via byte-split MXU dots with a [256,256] triangular one-hot.
+  - per-lane table reads contract the context axis on the MXU: for table
+    piece T (values < 256, bf16-exact), W = T^T @ oh_ctx gives each lane
+    its context's row; symbol selection folds W with symbol/chunk one-hots.
+    No gathers anywhere (XLA TPU gathers serialize; Mosaic has none).
+  - the previous symbol per lane (the context source) is one more [1,K]
+    u32 scratch vector; the CHUNKED lane layout (lane i owns contiguous
+    bytes, ops/rcx_ops.py) makes it the true preceding byte.
+
+Containers are byte-identical with the XLA backend and the host oracle
+(tests/test_rcx.py). Reference parity: this is the order-1 extension of
+AdaptiveRangeEncoder/Decoder (cpprcoder.h:626-940) the reference lacks;
+it beats the reference's adaptive ratio on every Canterbury file
+(bench/rcx_sim.py sweep).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
+from cpprcoder_tpu.models.cxmodel import QBITS, QRESERVE, QTOTAL, rcx_params
+from cpprcoder_tpu.ops import rc_common
+from cpprcoder_tpu.ops.range_ops import _encode_container
+from cpprcoder_tpu.ops.rcx_ops import _pad2d_chunked, _parse_rcx_header
+from cpprcoder_tpu.reference.rc_ref import _lane_desc
+from cpprcoder_tpu.utils.shapes import bucket
+
+U32 = jnp.uint32
+I32 = jnp.int32
+F32 = jnp.float32
+
+N_SLOTS = 2
+SUB = 8
+MIN_LANES = 128            # same masked-grid floor as rcq_pallas
+VMEM_ROWS_CAP = 4 << 20    # decode word-rows budget (context model +
+#   [256,K] one-hot transients leave less VMEM headroom than CT-RCQ)
+
+_INTERPRET = False
+
+
+def _dot(a, b):
+    """MXU dot; operands must be bf16-exact (one-hots / byte pieces)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32)
+
+
+def _div_rows(num_u32, d_u32):
+    """floor(num / d) rowwise: num [B,256] u32 < 2^32, d [B,1] u32 < 2^18,
+    quotient < 2^15. 15-round unrolled long division (no idiv on VPU)."""
+    q = jnp.zeros_like(num_u32)
+    for b in reversed(range(15)):
+        cand = q | U32(1 << b)
+        q = jnp.where(cand * d_u32 <= num_u32, cand, q)
+    return q.astype(I32)
+
+
+def _ctx_tables(C, climit: int):
+    """C [B,256] i32 -> (C', q, cums_excl [B,256] i32, chunk pieces).
+
+    Must match models.cxmodel {rescale_rows, quantize_rows} + row cumsum
+    bit-for-bit. Returns byte pieces for the MXU contractions:
+    (q_hi, q_lo, ce_hi, ce_lo) [B,256] f32 (< 128 / < 256, bf16-exact)."""
+    B = C.shape[0]
+    tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)          # < 2^18
+    C = jnp.where(tot >= climit, (C >> 1) | 1, C)
+    tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)
+    q = jnp.maximum(
+        _div_rows(C.astype(U32) * U32(QTOTAL - QRESERVE),
+                  tot.astype(U32)), 1)
+    rem = I32(QTOTAL) - jnp.sum(q, axis=1, keepdims=True, dtype=I32)
+    m = jnp.max(q, axis=1, keepdims=True)
+    cols = lax.broadcasted_iota(I32, (B, 256), 1)
+    first = jnp.min(jnp.where(q == m, cols, I32(4096)), axis=1,
+                    keepdims=True)
+    q = q + rem * (cols == first).astype(I32)
+    q_hi = (q >> 8).astype(F32)
+    q_lo = (q & 255).astype(F32)
+    tri_incl = (lax.broadcasted_iota(I32, (256, 256), 0)
+                <= lax.broadcasted_iota(I32, (256, 256), 1)).astype(F32)
+    cum_incl = (_dot(q_hi, tri_incl) * 256 + _dot(q_lo, tri_incl))
+    cums_excl = cum_incl.astype(I32) - q                        # <= 2^15
+    ce_hi = (cums_excl >> 8).astype(F32)
+    ce_lo = (cums_excl & 255).astype(F32)
+    return C, q_hi, q_lo, ce_hi, ce_lo
+
+
+def _pick_ctx(piece_hi, piece_lo, oh_sel, oh_ctx_i32):
+    """Per-lane table value: T[ctx_i, sel_i] for byte pieces [B,256].
+
+    W = T @ oh_sel contracts the symbol axis ([B,256]@[256,K] -> [B,K],
+    values < 256 exact); the context axis collapses with an i32 masked
+    reduce. Returns [1,K] u32."""
+    w_hi = _dot(piece_hi, oh_sel).astype(I32)
+    w_lo = _dot(piece_lo, oh_sel).astype(I32)
+    v_hi = jnp.sum(jnp.where(oh_ctx_i32 > 0, w_hi, 0), axis=0,
+                   keepdims=True, dtype=I32)
+    v_lo = jnp.sum(jnp.where(oh_ctx_i32 > 0, w_lo, 0), axis=0,
+                   keepdims=True, dtype=I32)
+    return (v_hi * 256 + v_lo).astype(U32)
+
+
+def _hist_ctx(oh_ctx_masked, oh_sym):
+    """H [B,256]: H[b,s] = #lanes with (ctx b, sym s) (exact in f32)."""
+    h = jax.lax.dot_general(oh_ctx_masked, oh_sym,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32)
+    return h.astype(I32)
+
+
+def _lane_iota(k):
+    return lax.broadcasted_iota(I32, (1, k), 1)
+
+
+def _iota16_col_k(k):
+    return lax.broadcasted_iota(I32, (16, k), 0)
+
+
+# ------------------------------------------------------------------ encode
+
+def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
+                   low_s, car_s, rng_s, cache_s, csz_s, C_s, prev_s,
+                   *, k: int, kp: int, inc: int, climit: int, cbits: int,
+                   stride: int):
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+    B = 1 << cbits
+
+    @pl.when(pid == 0)
+    def _init():
+        low_s[:] = jnp.zeros((1, kp), U32)
+        car_s[:] = jnp.zeros((1, kp), U32)
+        rng_s[:] = jnp.full((1, kp), 0xFFFFFFFF, U32)
+        cache_s[:] = jnp.zeros((1, kp), U32)
+        csz_s[:] = jnp.ones((1, kp), U32)
+        C_s[:] = jnp.ones((B, 256), I32)
+        prev_s[:] = jnp.zeros((1, kp), I32)
+
+    n = n_ref[0, 0]
+    st = (low_s[:], car_s[:], rng_s[:], cache_s[:], csz_s[:])
+    C = C_s[:]
+    prev = prev_s[:]
+    lanes = _lane_iota(kp)
+    iota_b = lax.broadcasted_iota(I32, (B, kp), 0)
+    iota_256 = lax.broadcasted_iota(I32, (256, kp), 0)
+    ev_rows = []
+
+    for j in range(SUB):
+        C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
+        j_abs = pid * SUB + j
+        # i32-exact: k*stride = padded input size < 2^31 (wrapper asserts)
+        active = ((j_abs < stride)
+                  & (lanes * stride + j_abs < n)
+                  & (lanes < k))
+        syms = x_ref[j:j + 1, :]                       # [1, Kp] i32
+        ctx = (prev >> (8 - cbits)) if cbits else prev * 0
+        oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
+        oh_ctx = oh_ctx_i32.astype(F32)
+        oh_sym = (iota_256 == syms).astype(F32)
+        c = _pick_ctx(ce_hi, ce_lo, oh_sym, oh_ctx_i32)
+        f = _pick_ctx(q_hi, q_lo, oh_sym, oh_ctx_i32)
+
+        t = st[2] >> QBITS
+        is_top = (c + f) == U32(QTOTAL)
+        st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active,
+                                          N_SLOTS)
+        ev_rows.extend([evs[0], evs[1]])
+        C = C + _hist_ctx(oh_ctx, oh_sym) * I32(inc)
+        prev = jnp.where(active, syms, prev)
+
+    ev_ref[:] = jnp.concatenate(ev_rows, axis=0)       # [2*SUB, K]
+    C_s[:] = C
+    prev_s[:] = prev
+    low_s[:], car_s[:], rng_s[:], cache_s[:], csz_s[:] = st
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _flush():
+        fl = rc_common.flush(st)
+        valid = lanes < k
+        fl_ref[:] = jnp.concatenate(
+            [jnp.where(valid, fl[0], U32(0)),
+             jnp.where(valid, fl[1], U32(0)),
+             jnp.zeros((SUB - 2, kp), U32)], axis=0)
+
+
+@lru_cache(maxsize=64)
+def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
+                 cbits: int, stride: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, stride=stride)
+    steps8 = -(-steps // SUB) * SUB
+
+    @jax.jit
+    def run(x2d, n):
+        pad = steps8 - x2d.shape[0]
+        xp = jnp.concatenate(
+            [x2d, jnp.zeros((pad, x2d.shape[1]), x2d.dtype)]) if pad else x2d
+        if kp > k:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((steps8, kp - k), xp.dtype)], axis=1)
+        evs, fl = pl.pallas_call(
+            kern,
+            grid=(steps8 // SUB,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((SUB, kp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((2 * SUB, kp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((2 * steps8, kp), U32),
+                jax.ShapeDtypeStruct((8, kp), U32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, kp), U32),            # low
+                pltpu.VMEM((1, kp), U32),            # carry
+                pltpu.VMEM((1, kp), U32),            # range
+                pltpu.VMEM((1, kp), U32),            # cache
+                pltpu.VMEM((1, kp), U32),            # cache_size
+                pltpu.VMEM((1 << cbits, 256), I32),  # C
+                pltpu.VMEM((1, kp), I32),            # prev symbol
+            ],
+            interpret=_INTERPRET,
+        )(jnp.asarray(n, I32).reshape(1, 1), xp.astype(I32))
+        from cpprcoder_tpu.ops import compaction
+
+        events_t = jnp.concatenate([evs[: 2 * steps], fl[:2]])[:, :k]
+        _, _, _, lane_sizes, total = compaction.payload_layout_t(events_t)
+        return events_t, lane_sizes, total
+
+    return run
+
+
+def rcx_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
+                      climit_log2: int | None = None,
+                      cbits: int | None = None) -> bytes:
+    x = as_u8(data)
+    n = len(x)
+    k, inc, climit_log2, cbits = rcx_params(n, lanes, inc, cbits)
+    if n == 0:
+        return (ByteWriter().u32(0).u8(_lane_desc(k, False))
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).getvalue())
+    stride = -(-n // k)
+    steps = bucket(stride)
+    fn = _encode_call(steps, k, max(k, MIN_LANES), inc, climit_log2, cbits,
+                      stride)
+    phase1 = lambda x2d: fn(x2d, U32(n))
+
+    def header(wide):
+        return (ByteWriter().u32(n).u8(_lane_desc(k, wide))
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits))
+
+    pad = lambda x, steps, k: _pad2d_chunked(x, steps, k, stride)
+    return _encode_container(x, k, phase1, header, time_major=True,
+                             pad2d=pad)
+
+
+# ------------------------------------------------------------------ decode
+
+def _decode_kernel(n_ref, rows_ref, out_ref,
+                   rng_s, code_s, q0_s, q1_s, occ_s, widx_s, C_s, prev_s,
+                   *, k: int, kp: int, l4: int, inc: int, climit: int,
+                   cbits: int, stride: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    B = 1 << cbits
+
+    @pl.when(pid == 0)
+    def _init():
+        rng_s[:] = jnp.full((1, kp), 0xFFFFFFFF, U32)
+        code_s[:] = pltpu.bitcast(rows_ref[0:1, :], U32)
+        q0_s[:] = jnp.zeros((1, kp), U32)
+        q1_s[:] = jnp.zeros((1, kp), U32)
+        occ_s[:] = jnp.zeros((1, kp), U32)
+        widx_s[:] = jnp.ones((1, kp), I32)
+        C_s[:] = jnp.ones((B, 256), I32)
+        prev_s[:] = jnp.zeros((1, kp), I32)
+
+    n = n_ref[0, 0]
+    rng = rng_s[:]
+    code = code_s[:]
+    q0 = q0_s[:]
+    q1 = q1_s[:]
+    occ = occ_s[:]
+    widx = widx_s[:]
+    C = C_s[:]
+    prev = prev_s[:]
+    l4_iota = lax.broadcasted_iota(I32, (l4, kp), 0)
+    lanes = _lane_iota(kp)
+    iota_b = lax.broadcasted_iota(I32, (B, kp), 0)
+    iota_256 = lax.broadcasted_iota(I32, (256, kp), 0)
+    fold16 = ((lax.broadcasted_iota(I32, (16, 256), 1) & 15)
+              == lax.broadcasted_iota(I32, (16, 256), 0)).astype(F32)
+    rows = rows_ref[:]
+    out_rows = []
+
+    for j in range(SUB):
+        need = occ < U32(N_SLOTS)
+        sel = jnp.where(need, widx, I32(-1))
+        word_i = jnp.sum(jnp.where(l4_iota == sel, rows, I32(0)),
+                         axis=0, keepdims=True, dtype=I32)
+        word = pltpu.bitcast(word_i, U32)
+        q0 = q0 | jnp.where(occ == 0, word, word >> 8)
+        q1 = q1 | jnp.where(occ == 0, U32(0), word << 24)
+        occ = jnp.where(need, occ + 4, occ)
+        widx = widx + need.astype(I32)
+
+        C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
+        j_abs = pid * SUB + j
+        active = ((j_abs < stride)
+                  & (lanes * stride + j_abs < n)
+                  & (lanes < k))
+        ctx = (prev >> (8 - cbits)) if cbits else prev * 0
+        oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
+        oh_ctx = oh_ctx_i32.astype(F32)
+
+        # level 1: chunk cums of the lane's context row.
+        # chunk piece extraction: select columns 0,16,..,240 of cums_excl.
+        sel16 = ((lax.broadcasted_iota(I32, (256, 16), 0)
+                  == lax.broadcasted_iota(I32, (256, 16), 1) * 16)
+                 ).astype(F32)
+        ch_hi = _dot(ce_hi, sel16)                     # [B,16] < 128
+        ch_lo = _dot(ce_lo, sel16)
+        chunk_rows = (_dot(ch_hi.T, oh_ctx) * 256
+                      + _dot(ch_lo.T, oh_ctx)).astype(I32)   # [16,K]
+        t = rng >> QBITS
+        le_hi = chunk_rows.astype(U32) * t <= code
+        s_hi = jnp.sum(le_hi.astype(I32), axis=0, keepdims=True) - 1
+
+        # level 2: the 16 in-chunk values of (ctx, s_hi)
+        colsel = ((iota_256 >> 4) == s_hi).astype(F32)  # [256,K]
+        w_ce_hi = _dot(ce_hi.T, oh_ctx) * colsel       # [256,K] < 128
+        w_ce_lo = _dot(ce_lo.T, oh_ctx) * colsel
+        w_q_hi = _dot(q_hi.T, oh_ctx) * colsel
+        w_q_lo = _dot(q_lo.T, oh_ctx) * colsel
+        c16 = (_dot(fold16, w_ce_hi) * 256 + _dot(fold16, w_ce_lo)
+               ).astype(I32)                           # [16,K]
+        q16 = (_dot(fold16, w_q_hi) * 256 + _dot(fold16, w_q_lo)
+               ).astype(I32)
+        le_lo = c16.astype(U32) * t <= code
+        s_lo = jnp.sum(le_lo.astype(I32), axis=0, keepdims=True) - 1
+        oh_lo = (_iota16_col_k(kp) == s_lo).astype(F32)
+        c = jnp.sum(jnp.where(oh_lo > 0, c16, I32(0)), axis=0,
+                    keepdims=True, dtype=I32).astype(U32)
+        f = jnp.sum(jnp.where(oh_lo > 0, q16, I32(0)), axis=0,
+                    keepdims=True, dtype=I32).astype(U32)
+        s = (s_hi << 4) | s_lo
+
+        code = code - c * t
+        rng = jnp.where((c + f) == U32(QTOTAL), rng - c * t, f * t)
+        for _ in range(N_SLOTS):
+            do = rng < U32(rc_common.RC_TOP)
+            b = q0 >> 24
+            q0 = jnp.where(do, (q0 << 8) | (q1 >> 24), q0)
+            q1 = jnp.where(do, q1 << 8, q1)
+            occ = occ - do.astype(U32)
+            code = jnp.where(do, (code << 8) | b, code)
+            rng = jnp.where(do, rng << 8, rng)
+
+        oh_sym = (iota_256 == s).astype(F32)
+        C = C + _hist_ctx(oh_ctx, oh_sym) * I32(inc)
+        prev = jnp.where(active, s, prev)
+        out_rows.append(s)
+
+    C_s[:] = C
+    prev_s[:] = prev
+    out_ref[:] = jnp.concatenate(out_rows, axis=0)
+    rng_s[:] = rng
+    code_s[:] = code
+    q0_s[:] = q0
+    q1_s[:] = q1
+    occ_s[:] = occ
+    widx_s[:] = widx
+
+
+@lru_cache(maxsize=64)
+def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
+                 climit_log2: int, cbits: int, stride: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, stride=stride)
+    steps8 = -(-steps // SUB) * SUB
+
+    @jax.jit
+    def run(rows_wT, n):
+        if kp > k:
+            rows_wT = jnp.concatenate(
+                [rows_wT, jnp.zeros((l4, kp - k), rows_wT.dtype)], axis=1)
+        out = pl.pallas_call(
+            kern,
+            grid=(steps8 // SUB,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((l4, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((SUB, kp), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((steps8, kp), I32),
+            scratch_shapes=[
+                pltpu.VMEM((1, kp), U32),            # rng
+                pltpu.VMEM((1, kp), U32),            # code
+                pltpu.VMEM((1, kp), U32),            # q0
+                pltpu.VMEM((1, kp), U32),            # q1
+                pltpu.VMEM((1, kp), U32),            # occ
+                pltpu.VMEM((1, kp), I32),            # widx
+                pltpu.VMEM((1 << cbits, 256), I32),  # C
+                pltpu.VMEM((1, kp), I32),            # prev symbol
+            ],
+            interpret=_INTERPRET,
+        )(jnp.asarray(n, I32).reshape(1, 1),
+          jax.lax.bitcast_convert_type(rows_wT, I32))
+        return out[:, :k]
+
+    return run
+
+
+def rcx_decode_pallas(blob) -> bytes:
+    from cpprcoder_tpu.ops.rcq_ops import _rows_fn
+    from cpprcoder_tpu.ops.rcx_ops import rcx_decode_jax
+
+    r = ByteReader(blob)
+    n, k, wide, inc, climit_log2, cbits = _parse_rcx_header(r)
+    if n == 0:
+        return b""
+    sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
+    stride = -(-n // k)
+    l4 = bucket(-(-int(sizes.max()) // 4) + 1)
+    kp = max(k, MIN_LANES)
+    if l4 * kp * 4 > VMEM_ROWS_CAP:
+        return rcx_decode_jax(blob)
+    from cpprcoder_tpu.utils import profiling
+
+    payload = r.rest()
+    if int(sizes.sum()) > len(payload):
+        from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
+        raise CorruptContainerError(
+            f"size table claims {int(sizes.sum())} payload bytes, "
+            f"container has {len(payload)}")
+    p_cap = bucket(max(len(payload), 1))
+    padded = np.zeros(p_cap, dtype=np.uint8)
+    padded[: len(payload)] = payload
+    with profiling.phase("dec.rows", len(payload)):
+        rows_w = _rows_fn(k, l4, p_cap)(jnp.asarray(padded),
+                                        jnp.asarray(sizes))
+        rows_wT = rows_w.T
+    steps = bucket(stride)
+    with profiling.phase("dec.scan", n):
+        out = _decode_call(steps, k, kp, l4, inc, climit_log2, cbits,
+                           stride)(rows_wT, n)
+    with profiling.phase("dec.fetch", n):
+        arr = np.asarray(jax.device_get(out))
+        return arr[:stride].T.reshape(-1)[:n].astype(np.uint8).tobytes()
