@@ -174,6 +174,74 @@ class HUFFJob:
                 "roundtrip_ok": eq == self.n}
 
 
+class HUFFPallasJob(HUFFJob):
+    """Config 3b on the Pallas kernel path (ops/huffman_pallas.py): the
+    whole bit-packer / canonical-decoder loop in one kernel launch."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        super().__init__(name, data, lanes)
+        from cpprcoder_tpu.ops import huffman_pallas as hp
+
+        self._hp = hp
+        self.kp = max(self.k, hp.MIN_LANES)
+        tab = np.zeros((8, 256), np.int32)
+        tab[0] = np.asarray(jax.device_get(self.lengths))
+        codes = np.asarray(jax.device_get(self.codes))
+        tab[1] = codes & 255
+        tab[2] = codes >> 8
+        self.tab = jnp.asarray(tab)
+        self.enc_p = hp._encode_call(self.steps, self.k, self.kp)
+
+    def warm(self):
+        words, pstart, n_words, bitcounts = self.enc_p(
+            self.x2d, self.nn, self.tab)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._sfn(self.steps * self.k + self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        bc = np.asarray(jax.device_get(bitcounts)).astype(np.int64)
+        word_counts = (bc + 15) // 16
+        bases = np.concatenate(([0], np.cumsum(word_counts)))[:-1]
+        self.lw = lw = bucket(max(int(word_counts.max()), 1) + 1)
+        self.rows_fn = self._hp._rows16_fn(self.k, lw, cap)
+        self._rows_args = (jnp.asarray(bases.astype(np.int32)),
+                           jnp.asarray(word_counts.astype(np.int32)))
+        self.dec_p = self._hp._decode_call(self.steps, self.k, self.kp, lw)
+        from cpprcoder_tpu.config import HUF_MAX_BITS
+
+        lim16 = np.zeros(16, np.int32)
+        bas16 = np.zeros(16, np.int32)
+        lim16[1:] = np.asarray(jax.device_get(self.limits))[1:16]
+        bas16[1:] = np.asarray(jax.device_get(self.bases_l))[1:16]
+        perm8 = np.zeros((8, 256), np.int32)
+        perm8[0] = np.asarray(jax.device_get(self.perm))
+        self._tabs = (jnp.asarray(lim16), jnp.asarray(bas16),
+                      jnp.asarray(perm8))
+        self._enc_out = stream
+        self._dec_out = self._dec_full(stream)
+        self.compressed = int(word_counts.sum()) * 2 + 4 + 1 + 128 + 4 * self.k
+
+    def _dec_full(self, stream):
+        rows = self.rows_fn(stream, *self._rows_args)
+        return self.dec_p(rows.T, *self._tabs, self.n)
+
+    def _enc_body(self, p):
+        words, pstart, n_words, bitcounts = self.enc_p(
+            self.x2d ^ p, self.nn, self.tab)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(bitcounts, dtype=U32))
+
+    def _dec_body(self, p):
+        out = self._dec_full(self._enc_out ^ p.astype(jnp.uint16))
+        return jnp.sum(out, dtype=I32).astype(U32)
+
+    def finalize(self):
+        row = HUFFJob.finalize(self)
+        row["codec"] = "huffman_pallas"
+        return row
+
+
 class SLZ4Job:
     """Config 5: SLZ4 (LZ4 block format, exact-candidate lazy parse)."""
 
@@ -304,7 +372,7 @@ def main(files=None):
     rows = []
     for f in files:
         data = load(f)
-        for cls in (RANSJob, HUFFJob, SLZ4Job, BWTJob):
+        for cls in (RANSJob, HUFFJob, HUFFPallasJob, SLZ4Job, BWTJob):
             job = cls(f, data)
             job.warm()
             job.run()
