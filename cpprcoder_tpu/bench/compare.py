@@ -17,8 +17,8 @@ from __future__ import annotations
 import json
 
 
-CT_DEFAULT = ("rcq", "adaptive_range", "static_range", "rans", "huffman",
-              "slz4")
+CT_DEFAULT = ("rcx", "rcq", "adaptive_range", "static_range", "rans",
+              "huffman", "slz4")
 PIPELINES = {"bwt_pipeline": ["blocksort", "mtf1", "rle0", "adaptive_range"]}
 
 
