@@ -370,17 +370,22 @@ def main(files=None):
     enable_compilation_cache()
     files = files or ["alice29.txt", "kennedy.xls", "ptt5"]
     rows = []
-    for f in files:
-        data = load(f)
-        for cls in (RANSJob, HUFFJob, HUFFPallasJob, SLZ4Job, BWTJob):
-            job = cls(f, data)
-            job.warm()
-            job.run()
-            row = job.finalize()
+    # kernel-path rows first; ALLCONFIGS.json is rewritten after every row
+    # so a timeout still leaves evidence (the round-2 lesson, bench.py)
+    for cls in (HUFFPallasJob, RANSJob, HUFFJob, SLZ4Job, BWTJob):
+        for f in files:
+            data = load(f)
+            try:
+                job = cls(f, data)
+                job.warm()
+                job.run()
+                row = job.finalize()
+            except Exception as e:  # isolate per-job failures
+                row = {"file": f, "codec": cls.__name__, "error": repr(e)}
             rows.append(row)
             print(json.dumps(row), flush=True)
-    with open("ALLCONFIGS.json", "w") as fh:
-        json.dump(rows, fh, indent=1)
+            with open("ALLCONFIGS.json", "w") as fh:
+                json.dump(rows, fh, indent=1)
     return rows
 
 

@@ -193,15 +193,20 @@ def materialize(events, out_cap: int):
     """Build the concatenated payload (static size out_cap ≥ total).
 
     Returns (payload u8 [out_cap], lane_sizes i32 [K]). Expansion is the
-    merge-based _expand_merge (no gathers/scatters: XLA TPU scatters
-    serialize, searchsorted measured ~165 ms/M queries)."""
+    two-sort _expand_sort: MEASURED faster on the chip than the
+    merge-based _expand_merge despite ~20x more compare-exchange passes —
+    the merge's tail stages reshape to last dims < 128, forcing a Mosaic
+    relayout per stage, while lax.sort is a native fused sort
+    (BENCH_DETAILS r3: kennedy encode 17 MB/s merged vs ~70 sorted).
+    _expand_merge is kept (tests/test_compaction.py) as the seed of a
+    future Pallas in-VMEM merge, where the layout problem disappears."""
     M = events.size
     if M + out_cap > (1 << 22):
         return _materialize_searchsorted(events, out_cap)
     _, first, run_byte, _ = event_fields(events)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout(events)
-    out = _expand_merge(first.reshape(-1), run_byte.reshape(-1), pcnt,
-                        pstart, dropped, total, out_cap)
+    out = _expand_sort(first.reshape(-1), run_byte.reshape(-1), pcnt,
+                       pstart, dropped, total, out_cap)
     return out, lane_sizes
 
 
@@ -266,18 +271,18 @@ def payload_layout_t(events_t, may_drop=True):
 def materialize_t(events_t, out_cap: int, may_drop=True):
     """materialize() twin for time-major [E, K] event grids.
 
-    The merge path needs lane-major (non-decreasing pstart) flattening, so
-    the [E, K] fields are transposed first — one u32 transpose instead of
-    the two full sorts this replaced."""
+    Uses the two-sort expansion (see materialize() — measured faster than
+    the merge path on chip). Sort order is layout-independent; only the
+    pstart VALUES encode the lane-major payload layout."""
     M = events_t.size
     if M + out_cap > (1 << 22):
-        # above the merge path's pstart<<10 key-packing capacity; the
+        # above the sort path's pstart<<10 key-packing capacity; the
         # searchsorted fallback covers every may_drop flavor (bool or mask)
         return _materialize_searchsorted(events_t.T, out_cap, may_drop)
     _, first, run_byte, _ = event_fields(events_t)
     pcnt, pstart, dropped, lane_sizes, total = payload_layout_t(
         events_t, may_drop)
-    out = _expand_merge(first.T.reshape(-1), run_byte.T.reshape(-1),
-                        pcnt.T.reshape(-1), pstart.T.reshape(-1),
-                        dropped.T.reshape(-1), total, out_cap)
+    out = _expand_sort(first.T.reshape(-1), run_byte.T.reshape(-1),
+                       pcnt.T.reshape(-1), pstart.T.reshape(-1),
+                       dropped.T.reshape(-1), total, out_cap)
     return out, lane_sizes

@@ -14,15 +14,27 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# this environment's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS; re-force CPU through the config API. Must happen
+# BEFORE enable_compilation_cache so the host-keyed CPU cache subdir is
+# selected (foreign-machine CPU AOT cache entries can SIGILL — utils/cache).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from cpprcoder_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
-# this environment's sitecustomize force-registers the axon TPU platform and
-# overrides JAX_PLATFORMS; re-force CPU through the config API
-import jax  # noqa: E402
+def pytest_collection_modifyitems(config, items):
+    """Run the shard_map suites FIRST: this environment's XLA:CPU compiler
+    intermittently segfaults (inside backend_compile_and_load) when a big
+    shard_map program is compiled late in a long-lived process with ~200
+    executables already loaded — the same compile succeeds in a fresh
+    process. Compiling the sharded programs while the process is young
+    sidesteps the crash; the tests themselves are unchanged."""
+    items.sort(key=lambda it: 0 if "sharded" in it.nodeid else 1)
 
-jax.config.update("jax_platforms", "cpu")
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
