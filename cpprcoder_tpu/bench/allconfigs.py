@@ -63,27 +63,31 @@ class RANSJob:
         self._ops = rans_ops
 
     def warm(self):
-        states, emits, words, pstart, n_words, freqs = self.enc(
+        states, words, pstart, n_words, lane_counts, freqs = self.enc(
             self.x2d, self.nn)
         nw = int(n_words)
         self.cap = cap = bucket(max(nw, 1))
         self.stream_fn = self._ops._stream_fn(self.steps * self.k, cap)
         self.dec = self._ops._decode_fn(self.steps, self.k, cap)
         stream = self.stream_fn(words, pstart, n_words)
-        self._enc_out = (stream, states, freqs, nw)
-        self._dec_out = self.dec(stream, states, freqs, self.nn)
-        self.compressed = nw * 2 + 4 + 1 + 4 * self.k + 4 + 330
+        cnts = np.asarray(jax.device_get(lane_counts))
+        bases = jnp.asarray(
+            np.concatenate(([0], np.cumsum(cnts)))[:-1].astype(np.int32))
+        self._enc_out = (stream, states, bases, freqs, nw)
+        self._dec_out = self.dec(stream, states, bases, freqs, self.nn)
+        self.compressed = nw * 2 + 4 + 1 + 4 * self.k + 2 * self.k + 330
 
     def _enc_body(self, p):
-        states, emits, words, pstart, n_words, freqs = self.enc(
+        states, words, pstart, n_words, lane_counts, freqs = self.enc(
             self.x2d ^ p, self.nn)
         stream = self.stream_fn(words, pstart, n_words)
         return (jnp.sum(stream.astype(U32), dtype=U32)
                 + jnp.sum(states, dtype=U32))
 
     def _dec_body(self, p):
-        stream, states, freqs, _ = self._enc_out
-        out = self.dec(stream ^ p.astype(jnp.uint16), states, freqs, self.nn)
+        stream, states, bases, freqs, _ = self._enc_out
+        out = self.dec(stream ^ p.astype(jnp.uint16), states, bases, freqs,
+                       self.nn)
         return jnp.sum(out, dtype=U32)
 
     def run(self):
@@ -99,6 +103,64 @@ class RANSJob:
                 "enc_MBps": self.n / self.enc_t / 1e6,
                 "dec_MBps": self.n / self.dec_t / 1e6,
                 "roundtrip_ok": eq == self.n}
+
+
+class RANSPallasJob(RANSJob):
+    """Config 3 on the Pallas kernel path (ops/rans_pallas.py): the whole
+    interleaved-rANS loop in one kernel launch per direction."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        super().__init__(name, data, lanes)
+        from cpprcoder_tpu.ops import rans_pallas as rp
+
+        self._rp = rp
+        self.kp = max(self.k, rp.MIN_LANES)
+        self.enc = rp._encode_call(self.steps, self.k, self.kp)
+
+    def warm(self):
+        states, words, pstart, n_words, lane_counts, freqs = self.enc(
+            self.x2d, self.nn)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._ops._stream_fn(self.steps * self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        cnts = np.asarray(jax.device_get(lane_counts)).astype(np.int64)
+        bases = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+        self.l2 = l2 = bucket(max(int(cnts.max()), 1) + 1)
+        from cpprcoder_tpu.ops.huffman_pallas import _rows16_fn
+
+        self.rows_fn = _rows16_fn(self.k, l2, cap)
+        self._rows_args = (jnp.asarray(bases.astype(np.int32)),
+                           jnp.asarray(cnts.astype(np.int32)))
+        self.dec_p = self._rp._decode_call(self.steps, self.k, self.kp, l2)
+        fq = np.asarray(jax.device_get(freqs)).astype(np.int32)
+        cums = np.concatenate(([0], np.cumsum(fq[:255]))).astype(np.int32)
+        self._tabs = (jnp.asarray(fq.reshape(16, 16)),
+                      jnp.asarray(cums.reshape(16, 16)))
+        self._enc_out = (stream, states)
+        self._dec_out = self._dec_full(stream, states)
+        self.compressed = nw * 2 + 4 + 1 + 4 * self.k + 2 * self.k + 330
+
+    def _dec_full(self, stream, states):
+        rows = self.rows_fn(stream, *self._rows_args)
+        return self.dec_p(rows.T, states, *self._tabs, jnp.int32(self.n))
+
+    def _enc_body(self, p):
+        states, words, pstart, n_words, lane_counts, freqs = self.enc(
+            self.x2d ^ p, self.nn)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(states, dtype=U32))
+
+    def _dec_body(self, p):
+        stream, states = self._enc_out
+        out = self._dec_full(stream ^ p.astype(jnp.uint16), states)
+        return jnp.sum(out, dtype=I32).astype(U32)
+
+    def finalize(self):
+        row = RANSJob.finalize(self)
+        row["codec"] = "rans_pallas"
+        return row
 
 
 class HUFFJob:
@@ -372,7 +434,8 @@ def main(files=None):
     rows = []
     # kernel-path rows first; ALLCONFIGS.json is rewritten after every row
     # so a timeout still leaves evidence (the round-2 lesson, bench.py)
-    for cls in (HUFFPallasJob, RANSJob, HUFFJob, SLZ4Job, BWTJob):
+    for cls in (RANSPallasJob, HUFFPallasJob, RANSJob, HUFFJob, SLZ4Job,
+                BWTJob):
         for f in files:
             data = load(f)
             try:

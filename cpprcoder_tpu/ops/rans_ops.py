@@ -1,13 +1,13 @@
-"""JAX K-lane interleaved rANS: CT-ANS1.
+"""JAX K-lane interleaved rANS: CT-ANS1 v2.
 
 TPU design (SURVEY.md §7 phase 3): the 8-state SIMD interleave of
-cppans.h:567-649 generalized to K lanes sharing one u16-word stream.
+cppans.h:567-649 generalized to K lanes with PER-LANE u16-word streams
+(v2 — see reference/rans_ref.py for why the v1 shared stream had to go).
 Division-free decode; at most one renorm word per symbol per direction.
 Encode scans the input in reverse step order (the rANS backwards-encoding
-trick, cppans.h:497-530); emitted word slots are compacted in forward
-(decoder) order with the same scatter-free searchsorted pass as the range
-coder. Decode reads a variable subset of lanes per step via an intra-step
-exclusive cumsum over read flags + gather at a running stream base.
+trick, cppans.h:497-530); emitted word slots are compacted lane-major with
+the same single-sort pass as the Huffman streams. Decode refills from a
+per-lane cursor into the concatenated streams (one k-gather per step).
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import numpy as np
 from cpprcoder_tpu.config import ANS_LOW, ANS_PROB_BITS, ANS_TOTAL, pick_lanes
 from cpprcoder_tpu.core.bytesutil import ByteReader, ByteWriter, as_u8
 from cpprcoder_tpu.models import freq_header
-from cpprcoder_tpu.reference.rans_ref import _lane_desc
+from cpprcoder_tpu.reference.rans_ref import _lane_desc, _parse_lane_desc
 from cpprcoder_tpu.utils.shapes import bucket
 
 U32 = jnp.uint32
@@ -60,7 +60,9 @@ def _encode_fn(steps: int, k: int):
             active = (orig_t * k + lane_ids) < n
             f = fct[:, 0]
             c = fct[:, 1]
-            emit = active & (states >= (f << 18))
+            # (st >> 18) >= f  ⟺  st >= f << 18, without the u32 wrap
+            # that f == 16384 (single-symbol input) hits in `f << 18`
+            emit = active & ((states >> 18) >= f)
             word = (states & U32(0xFFFF)).astype(jnp.uint16)
             st = jnp.where(emit, states >> 16, states)
             q = st // f
@@ -71,14 +73,16 @@ def _encode_fn(steps: int, k: int):
 
         init = jnp.full(k, ANS_LOW, U32)
         (states, _), (emits, words) = lax.scan(step, (init, U32(0)), xs_rev)
-        # scan emitted in reverse-step order; flip to original (t, j) order,
-        # which IS the decoder read order (see FORMATS.md CT-ANS1)
-        emits = emits[::-1].reshape(-1)
-        words = words[::-1].reshape(-1)
+        # scan emitted in reverse-step order; flip to original t order (per
+        # lane, that IS the lane's read order), then flatten LANE-MAJOR so
+        # the compacted stream is lane 0's words, lane 1's, ...
+        emits = emits[::-1].T.reshape(-1)
+        words = words[::-1].T.reshape(-1)
         cnt = emits.astype(I32)
         pstart = jnp.cumsum(cnt) - cnt
+        lane_counts = cnt.reshape(k, steps).sum(axis=1)
         n_words = cnt.sum()
-        return states, emits, words, pstart, n_words, freqs
+        return states, words, pstart, n_words, lane_counts, freqs
 
     return run
 
@@ -111,28 +115,27 @@ def _stream_fn(slots: int, cap: int):
 @lru_cache(maxsize=64)
 def _decode_fn(steps: int, k: int, w_cap: int):
     @jax.jit
-    def run(stream, states, freqs, n):
+    def run(stream, states, bases, freqs, n):
         from cpprcoder_tpu.ops.lookup import find_symbol2
 
         cum_incl = jnp.cumsum(freqs.astype(U32))
         lane_ids = jnp.arange(k, dtype=U32)
 
         def step(carry, _):
-            states, base, t_idx = carry
+            states, widx, t_idx = carry
             active = (t_idx * k + lane_ids) < n
             slot = states & U32(MASK)
             s, c, f, _ = find_symbol2(cum_incl, slot)
             st = f * (states >> ANS_PROB_BITS) + slot - c
             need = active & (st < U32(ANS_LOW))
-            offs = jnp.cumsum(need.astype(I32)) - 1
-            idx = jnp.minimum(base + offs, w_cap - 1)
+            idx = jnp.minimum(bases + widx, w_cap - 1)
             w = stream[idx].astype(U32)
             st = jnp.where(need, (st << 16) | w, st)
             states = jnp.where(active, st, states)
-            base = base + need.sum().astype(I32)
-            return (states, base, t_idx + 1), s.astype(jnp.uint8)
+            widx = widx + need.astype(I32)
+            return (states, widx, t_idx + 1), s.astype(jnp.uint8)
 
-        init = (states, jnp.zeros((), I32), U32(0))
+        init = (states, jnp.zeros(k, I32), U32(0))
         _, out = lax.scan(step, init, None, length=steps)
         return out
 
@@ -149,15 +152,17 @@ def rans_encode_jax(data, lanes: int | None = None) -> bytes:
         return ByteWriter().u32(0).u8(_lane_desc(k)).getvalue()
     steps = bucket(-(-n // k))
     fn = _encode_fn(steps, k)
-    states, emits, words, pstart, n_words, freqs = fn(
+    states, words, pstart, n_words, lane_counts, freqs = fn(
         jnp.asarray(_pad2d(x, steps, k)), U32(n))
     nw = int(n_words)
     cap = bucket(max(nw, 1))
     stream = _stream_fn(steps * k, cap)(words, pstart, n_words)
-    w = ByteWriter().u32(n).u8(_lane_desc(k))
+    cnts = np.asarray(jax.device_get(lane_counts))
+    wide = bool(cnts.max() > 0xFFFF)
+    w = ByteWriter().u32(n).u8(_lane_desc(k, wide))
     w.raw(freq_header.pack_freqs(np.asarray(jax.device_get(freqs))))
     w.u32s(np.asarray(jax.device_get(states)))
-    w.u32(nw)
+    w.u32s(cnts) if wide else w.u16s(cnts)
     w.u16s(np.asarray(jax.device_get(stream))[:nw])
     return w.getvalue()
 
@@ -165,18 +170,20 @@ def rans_encode_jax(data, lanes: int | None = None) -> bytes:
 def rans_decode_jax(blob) -> bytes:
     r = ByteReader(blob)
     n = r.u32()
-    k = 1 << r.u8()
+    k, wide = _parse_lane_desc(r.u8())
     if n == 0:
         return b""
     freqs = freq_header.read_freqs(r, 1 << ANS_PROB_BITS)
     states = r.u32s(k)
-    n_words = r.u32()
+    cnts = (r.u32s(k) if wide else r.u16s(k)).astype(np.int64)
+    n_words = int(cnts.sum())
     words = r.u16s(n_words).astype(np.uint16)
+    bases = np.concatenate(([0], np.cumsum(cnts)))[:-1].astype(np.int32)
     steps = bucket(-(-n // k))
     w_cap = bucket(max(n_words, 1))
     padded = np.zeros(w_cap, np.uint16)
     padded[:n_words] = words
     out = _decode_fn(steps, k, w_cap)(
-        jnp.asarray(padded), jnp.asarray(states, U32), jnp.asarray(freqs, U32),
-        U32(n))
+        jnp.asarray(padded), jnp.asarray(states, U32), jnp.asarray(bases),
+        jnp.asarray(freqs, U32), U32(n))
     return np.asarray(jax.device_get(out)).reshape(-1)[:n].tobytes()
