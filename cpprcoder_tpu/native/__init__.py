@@ -54,6 +54,10 @@ def load():
                                ctypes.c_uint32, ctypes.c_uint32,
                                u8p, ctypes.c_int64]),
             ("ct_rcq_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
+            ("ct_rcx_encode", [u8p, ctypes.c_int64, ctypes.c_uint32,
+                               ctypes.c_uint32, ctypes.c_uint32,
+                               ctypes.c_uint32, u8p, ctypes.c_int64]),
+            ("ct_rcx_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -132,4 +136,29 @@ def rcq_decode(blob) -> bytes:
     sz = lib.ct_rcq_decode(_ptr(b), len(b), _ptr(out), n)
     if sz < 0:
         raise RuntimeError("ct_rcq_decode failed")
+    return out[:sz].tobytes()
+
+
+def rcx_encode(data, lanes: int, inc: int, climit_log2: int,
+               cbits: int) -> bytes:
+    lib = load()
+    x = np.frombuffer(bytes(data), np.uint8) \
+        if not isinstance(data, np.ndarray) else data
+    cap = 2 * len(x) + 16 * lanes + 4096
+    out = np.empty(cap, np.uint8)
+    sz = lib.ct_rcx_encode(_ptr(x), len(x), lanes, inc, climit_log2, cbits,
+                           _ptr(out), cap)
+    if sz < 0:
+        raise RuntimeError("ct_rcx_encode failed")
+    return out[:sz].tobytes()
+
+
+def rcx_decode(blob) -> bytes:
+    lib = load()
+    b = np.frombuffer(bytes(blob), np.uint8)
+    n = int.from_bytes(bytes(blob[:4]), "little")
+    out = np.empty(max(n, 1), np.uint8)
+    sz = lib.ct_rcx_decode(_ptr(b), len(b), _ptr(out), n)
+    if sz < 0:
+        raise RuntimeError("ct_rcx_decode failed")
     return out[:sz].tobytes()

@@ -624,3 +624,199 @@ int64_t ct_rcq_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- CT-RCX
+// Context-conditioned quantized adaptive range coder (format:
+// reference/rcx_ref.py; model: cpprcoder_tpu/models/cxmodel.py). Chunked
+// lane layout: lane i owns src[i*stride .. i*stride+stride); the context
+// of a symbol is the lane's PREVIOUS byte >> (8 - cbits). Host verifier
+// twin of the JAX/Pallas backends: containers must be byte-identical.
+
+namespace {
+
+struct RcxModel {
+  int B;
+  uint32_t climit, inc;
+  std::vector<uint32_t> C, q, cums;
+  std::vector<uint64_t> tot;
+  std::vector<uint8_t> dirty;
+
+  RcxModel(int cbits, uint32_t climit_, uint32_t inc_)
+      : B(1 << cbits), climit(climit_), inc(inc_),
+        C(static_cast<size_t>(B) * 256, 1),
+        q(static_cast<size_t>(B) * 256, 0),
+        cums(static_cast<size_t>(B) * 256, 0),
+        tot(B, 256), dirty(B, 1) {}
+
+  // the oracle rescales every hot row AT MOST ONCE per step, before
+  // quantizing; this per-step check halves under exactly the same
+  // condition, so model states stay bit-identical
+  void begin_step() {
+    for (int r = 0; r < B; ++r) {
+      if (tot[r] >= climit) {
+        uint32_t* row = &C[static_cast<size_t>(r) * 256];
+        uint64_t t = 0;
+        for (int i = 0; i < 256; ++i) {
+          row[i] = (row[i] >> 1) | 1;
+          t += row[i];
+        }
+        tot[r] = t;
+        dirty[r] = 1;
+      }
+    }
+  }
+
+  // quantize row r lazily (pure function of C[r]; identical per-row
+  // semantics to rcq_quantize: floor-scale, min 1, remainder to first max)
+  const uint32_t* row_cums(int r) {
+    if (dirty[r]) {
+      const uint32_t* row = &C[static_cast<size_t>(r) * 256];
+      uint32_t* qr = &q[static_cast<size_t>(r) * 256];
+      uint32_t sum = 0;
+      for (int i = 0; i < 256; ++i) {
+        uint64_t num = static_cast<uint64_t>(row[i]) * (kQTotal - kQReserve);
+        uint32_t v = static_cast<uint32_t>(num / tot[r]);
+        qr[i] = v < 1 ? 1 : v;
+        sum += qr[i];
+      }
+      uint32_t rem = kQTotal - sum;
+      int arg = 0;
+      for (int i = 1; i < 256; ++i)
+        if (qr[i] > qr[arg]) arg = i;  // first max
+      qr[arg] += rem;
+      uint32_t* cr = &cums[static_cast<size_t>(r) * 256];
+      uint32_t acc = 0;
+      for (int i = 0; i < 256; ++i) {
+        cr[i] = acc;
+        acc += qr[i];
+      }
+      dirty[r] = 0;
+    }
+    return &cums[static_cast<size_t>(r) * 256];
+  }
+
+  uint32_t row_q(int r, int s) const {
+    return q[static_cast<size_t>(r) * 256 + s];
+  }
+
+  void update(int r, int s) {
+    C[static_cast<size_t>(r) * 256 + s] += inc;
+    tot[r] += inc;
+    dirty[r] = 1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t ct_rcx_encode(const uint8_t* src, int64_t n, uint32_t k,
+                      uint32_t inc, uint32_t climit_log2, uint32_t cbits,
+                      uint8_t* dst, int64_t cap) {
+  std::vector<uint8_t> hdr;
+  write_u32(hdr, static_cast<uint32_t>(n));
+  hdr.push_back(0);
+  hdr.push_back(static_cast<uint8_t>(inc));
+  hdr.push_back(static_cast<uint8_t>(climit_log2));
+  hdr.push_back(static_cast<uint8_t>(kQBits));
+  hdr.push_back(static_cast<uint8_t>(cbits));
+  if (n == 0) {
+    if (cap < 9) return -1;
+    std::memcpy(dst, hdr.data(), 9);
+    dst[4] = lane_log2(k);
+    return 9;
+  }
+  RcxModel m(cbits, 1u << climit_log2, inc);
+  std::vector<LaneEncoder> lanes(k);
+  std::vector<uint8_t> prev(k, 0);
+  int64_t stride = (n + k - 1) / k;
+  int shift = 8 - static_cast<int>(cbits);
+  for (int64_t t = 0; t < stride; ++t) {
+    m.begin_step();
+    // active lanes are the prefix {i : i*stride + t < n}
+    int64_t active = (n - t + stride - 1) / stride;
+    for (int64_t i = 0; i < active; ++i) {
+      LaneEncoder& e = lanes[i];
+      uint8_t s = src[i * stride + t];
+      int r = cbits ? (prev[i] >> shift) : 0;
+      const uint32_t* cr = m.row_cums(r);
+      e.encode(cr[s], m.row_q(r, s), kQTotal, e.range >> kQBits);
+    }
+    for (int64_t i = 0; i < active; ++i) {
+      uint8_t s = src[i * stride + t];
+      m.update(cbits ? (prev[i] >> shift) : 0, s);
+      prev[i] = s;
+    }
+  }
+  for (auto& l : lanes) l.finish();
+  return assemble(hdr, lanes, lane_log2(k), dst, cap);
+}
+
+int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
+                      int64_t cap) {
+  if (src_size < 9) return -1;
+  uint32_t n;
+  std::memcpy(&n, src, 4);
+  uint32_t k = 1u << (src[4] & 0x1F);
+  bool wide = (src[4] & 0x80) != 0;
+  uint32_t inc = src[5];
+  uint32_t climit_log2 = src[6];
+  if (src[7] != kQBits) return -1;
+  uint32_t cbits = src[8];
+  if (cbits > 8) return -1;
+  if (n == 0) return 0;
+  if (static_cast<int64_t>(n) > cap) return -1;
+  int64_t pos = 9;
+  std::vector<int64_t> sizes(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    if (wide) {
+      if (pos + 4 > src_size) return -1;
+      uint32_t v;
+      std::memcpy(&v, src + pos, 4);
+      sizes[j] = v;
+      pos += 4;
+    } else {
+      if (pos + 2 > src_size) return -1;
+      sizes[j] = src[pos] | (src[pos + 1] << 8);
+      pos += 2;
+    }
+  }
+  std::vector<LaneDecoder> decs(k);
+  for (uint32_t j = 0; j < k; ++j) {
+    if (pos + sizes[j] > src_size) return -1;
+    decs[j].init(src + pos, sizes[j]);
+    pos += sizes[j];
+  }
+  RcxModel m(cbits, 1u << climit_log2, inc);
+  std::vector<uint8_t> prev(k, 0);
+  int64_t stride = (n + k - 1) / k;
+  int shift = 8 - static_cast<int>(cbits);
+  for (int64_t t = 0; t < stride; ++t) {
+    m.begin_step();
+    int64_t active = (n - t + stride - 1) / stride;
+    for (int64_t i = 0; i < active; ++i) {
+      LaneDecoder& d = decs[i];
+      int r = cbits ? (prev[i] >> shift) : 0;
+      const uint32_t* cr = m.row_cums(r);
+      uint32_t tt = d.range >> kQBits;
+      int lo = 0, hi = 255;
+      while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (static_cast<uint64_t>(cr[mid]) * tt <= d.code)
+          lo = mid;
+        else
+          hi = mid - 1;
+      }
+      dst[i * stride + t] = static_cast<uint8_t>(lo);
+      d.consume(cr[lo], m.row_q(r, lo), kQTotal, tt);
+    }
+    for (int64_t i = 0; i < active; ++i) {
+      uint8_t s = dst[i * stride + t];
+      m.update(cbits ? (prev[i] >> shift) : 0, s);
+      prev[i] = s;
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -58,3 +58,32 @@ def test_native_rcq_identity_and_roundtrip():
         ref = rcq_ref.rcq_encode(data, lanes=k, inc=inc, climit_log2=cl)
         assert nat == ref
         assert native.rcq_decode(nat) == data
+
+
+def test_native_rcx_identity_and_roundtrip():
+    from cpprcoder_tpu import native
+    from cpprcoder_tpu.models.cxmodel import rcx_params
+    from cpprcoder_tpu.reference import rcx_ref
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++/native lib")
+    rng = np.random.default_rng(13)
+    for data in (b"the quick brown fox " * 150,
+                 rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+                 b"\xff" * 3000):
+        k, inc, cl, cb = rcx_params(len(data))
+        nat = native.rcx_encode(data, k, inc, cl, cb)
+        ref = rcx_ref.rcx_encode(data, lanes=k, inc=inc, climit_log2=cl,
+                                 cbits=cb)
+        assert nat == ref
+        assert native.rcx_decode(nat) == data
+    # cbits sweep incl. order-0 degenerate and full-byte context
+    data = b"abracadabra alakazam " * 120
+    for cb in (0, 3, 8):
+        k, inc, cl, _ = rcx_params(len(data))
+        nat = native.rcx_encode(data, k, inc, cl, cb)
+        assert nat == rcx_ref.rcx_encode(data, lanes=k, inc=inc,
+                                         climit_log2=cl, cbits=cb)
+        assert native.rcx_decode(nat) == data
