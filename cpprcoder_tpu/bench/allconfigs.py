@@ -338,11 +338,16 @@ class SLZ4Job:
         bases = np.concatenate(([0], np.cumsum(sizes)))[:-1]
         c_cap = bucket(int(total) + 8)
         self.walk = self._lz._walk_fn(self.n_segs, self.t_cap, c_cap)
+        self.resolve = self._lz._resolve_fn(self.n_segs, self.s, self.t_cap)
         comp = jnp.asarray(np.asarray(jax.device_get(payload)))
         self._payload = comp
         self._bases = jnp.asarray(bases.astype(np.int32))
         self._ends = jnp.asarray((bases + sizes).astype(np.int32))
-        self._dec_out = self.walk(comp, self._bases, self._ends)
+        self._dec_out = self._dec_full(comp)
+
+    def _dec_full(self, comp):
+        recs = self.walk(comp, self._bases, self._ends)
+        return self.resolve(comp, recs, self.lens)
 
     def _enc_body(self, p):
         mpos, m_len, m_off, lit_start, n_match = self.parse(
@@ -353,17 +358,15 @@ class SLZ4Job:
         return jnp.sum(seg_sizes, dtype=I32).astype(U32) + total.astype(U32)
 
     def _dec_body(self, p):
-        out = self.walk(self._payload ^ p, self._bases, self._ends)
-        return jnp.sum(out[0] if isinstance(out, tuple) else out, dtype=U32)
+        out = self._dec_full(self._payload ^ p)
+        return jnp.sum(out, dtype=U32)
 
     run = RANSJob.run
 
     def finalize(self):
-        out = self._dec_out[0] if isinstance(self._dec_out, tuple) \
-            else self._dec_out
-        dec = np.asarray(jax.device_get(out)).reshape(self.n_segs, -1)
+        dec = np.asarray(jax.device_get(self._dec_out)).reshape(
+            self.n_segs, -1)
         x = np.frombuffer(self.data, np.uint8)
-        got = dec.reshape(-1)[: 0]  # placeholder, fixed below
         ok = True
         s = self.s
         for i in range(self.n_segs):
