@@ -336,8 +336,8 @@ class SLZ4Job:
         self.compressed = int(total) + 9 + 4 * self.n_segs
         sizes = np.asarray(jax.device_get(seg_sizes)).astype(np.int64)
         bases = np.concatenate(([0], np.cumsum(sizes)))[:-1]
-        c_cap = bucket(int(total) + 8)
-        self.walk = self._lz._walk_fn(self.n_segs, self.t_cap, c_cap)
+        cmax = bucket(int(sizes.max()) + 8)
+        self.walk = self._lz._walk_fn(self.n_segs, self.t_cap, cmax)
         self.resolve = self._lz._resolve_fn(self.n_segs, self.s, self.t_cap)
         comp = jnp.asarray(np.asarray(jax.device_get(payload)))
         self._payload = comp

@@ -4,20 +4,27 @@ TPU design (SURVEY.md §7 phase 5), replacing the reference's sequential
 single-probe hash scan (test/slz4.h:204-234,462-510):
 
   encode, all batched over [n_segments, S]:
-    1. rank doubling to level 12 (lax.sort, num_keys=2) → exact substring
-       ids R_r for lengths 2^r ≤ LCP_CAP
-    2. exact nearest-previous-occurrence candidates via one stable sort of
-       (R_2, position) — no hash collisions, unlike the reference dict
-    3. LCP by descending-level rank comparisons (2 gathers per level)
-    4. greedy parse = pointer-doubling trajectory of next(i) = i + step(i)
-    5. match-token extraction by one more sort; byte serialization via the
-       scatter-free searchsorted-ownership pass (ops.compaction pattern)
+    1. ONE stable sort of (indexable, key4, position) where key4 is the
+       exact packed 4-byte code -> nearest previous occurrence candidates
+       (no hash collisions, unlike the reference dict; no rank doubling)
+    2. LCP estimate by descending-span comparisons of two independent u32
+       mixing chains H_r/G_r (pure elementwise build, no sorts)
+    3. greedy parse = pointer-doubling trajectory of next(i) = i + step(i)
+    4. match-token extraction by one sort; then an EXACT clamp pass: every
+       selected match is byte-verified (searchsorted ownership + scatter-min
+       of the first real mismatch), so a hash false-positive can only
+       shorten a match back to its true length (>= MIN_MATCH because the
+       candidate shares an exact 4-byte key) — output is always valid LZ4
+       and, absent collisions (~2^-64/compare), identical to the oracle
+    5. byte serialization via the scatter-free searchsorted-ownership pass
 
-  decode:
-    pass 1: token-structure walk (lax.scan over tokens; ≤1 u8 gather per
-       lane per ext byte via an inner while_loop)
-    pass 2: fully parallel byte materialization — literal bytes gather from
-       the compressed stream; match chains resolve by pointer doubling on
+  decode, fully parallel (no sequential token scan):
+    pass 1: token-boundary discovery — f(p) = "next token start if a token
+       started at p" is a pure function of the compressed bytes (the
+       255-continuation runs come from one reverse cummin); the real token
+       starts are the orbit of 0 under f, found by pointer doubling
+    pass 2: parallel byte materialization — literal bytes gather from the
+       compressed stream; match chains resolve by pointer doubling on
        src(p) = p - offset(p) (log2(S) gather rounds), the encode-time-
        independent parallel LZ decode.
 """
@@ -41,49 +48,62 @@ from cpprcoder_tpu.reference.slz4_ref import (
 )
 
 I32 = jnp.int32
-LCP_LEVELS = LCP_CAP.bit_length() - 1  # 12: ranks for lengths 1..4096
+U32 = jnp.uint32
+LCP_LEVELS = LCP_CAP.bit_length() - 1  # 12: spans up to 4096
 
 
-def _build_ranks(blocks, lens):
-    """blocks [nseg, S] u8, lens [nseg] i32 → list of rank arrays R_r
-    (r = 0..LCP_LEVELS), each [nseg, S] i32; pad positions get unique ids."""
-    nseg, s = blocks.shape
-    pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
-    rank = jnp.where(pos < lens[:, None], blocks.astype(I32), 256 + pos)
-    idx = pos
-    ranks = [rank]
+def _shift_left(a, h):
+    """a[:, i] -> a[:, i+h], zero-padded at the right edge."""
+    nseg, s = a.shape
+    return jnp.concatenate([a[:, h:], jnp.zeros((nseg, h), a.dtype)], axis=1)
+
+
+def _mix(a, b, c1, c2):
+    h = a * U32(c1) + b * U32(c2)
+    h = h ^ (h >> 15)
+    return h * U32(0x27D4EB2F)
+
+
+def _hash_levels(blocks):
+    """Two independent u32 chains per span 2^r (r = 0..LCP_LEVELS); span-1
+    values are the exact bytes, so equality at level 0 is exact."""
+    base = blocks.astype(U32)
+    hs, gs = [base], [base]
     for r in range(LCP_LEVELS):
         h = 1 << r
-        key2 = jnp.concatenate(
-            [rank[:, h:], jnp.full((nseg, h), -1, I32)], axis=1)
-        r1, r2, perm = lax.sort((rank, key2, idx), num_keys=2, is_stable=True)
-        diff = jnp.concatenate(
-            [jnp.zeros((nseg, 1), I32),
-             ((r1[:, 1:] != r1[:, :-1]) | (r2[:, 1:] != r2[:, :-1])
-              ).astype(I32)], axis=1)
-        new_sorted = jnp.cumsum(diff, axis=1)
-        _, rank = lax.sort((perm, new_sorted), num_keys=1, is_stable=True)
-        ranks.append(rank)
-    return ranks
+        hs.append(_mix(hs[-1], _shift_left(hs[-1], h), 0x9E3779B1, 0x85EBCA77))
+        gs.append(_mix(gs[-1], _shift_left(gs[-1], h), 0xC2B2AE35, 0x165667B1))
+    return hs, gs
 
 
-def _candidates(r2, idx):
-    """Nearest previous position with identical 4-byte string (-1 if none)."""
-    nseg, s = r2.shape
-    k_sorted, p_sorted = lax.sort((r2, idx), num_keys=1, is_stable=True)
+def _candidates(blocks, lens):
+    """Nearest previous position with an identical exact 4-byte code
+    (-1 if none). Positions with fewer than MIN_MATCH real bytes are not
+    indexable (mirrors the oracle's index_up_to guard)."""
+    nseg, s = blocks.shape
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
+    b = blocks.astype(U32)
+    key = ((b << 24) | (_shift_left(b, 1) << 16)
+           | (_shift_left(b, 2) << 8) | _shift_left(b, 3))
+    flag = (pos + MIN_MATCH > lens[:, None]).astype(U32)
+    f_s, k_s, p_sorted = lax.sort((flag, key, pos), num_keys=2, is_stable=True)
     prev = jnp.concatenate([jnp.full((nseg, 1), -1, I32), p_sorted[:, :-1]],
                            axis=1)
     same = jnp.concatenate(
-        [jnp.zeros((nseg, 1), jnp.bool_), k_sorted[:, 1:] == k_sorted[:, :-1]],
+        [jnp.zeros((nseg, 1), jnp.bool_),
+         (f_s[:, 1:] == 0) & (f_s[:, :-1] == 0) & (k_s[:, 1:] == k_s[:, :-1])],
         axis=1)
     cand_sorted = jnp.where(same, prev, -1)
     _, cand = lax.sort((p_sorted, cand_sorted), num_keys=1, is_stable=True)
     return cand
 
 
-def _lcp(ranks, cand, lens):
-    """Common-prefix length of suffixes i and cand(i), capped at LCP_CAP."""
+def _lcp_estimate(blocks, cand, lens):
+    """Common-prefix length of positions i and cand(i), capped at LCP_CAP.
+    Hash-based: can only overestimate (equal bytes always compare equal);
+    the parse clamps selected matches back to exact afterwards."""
     nseg, s = cand.shape
+    hs, gs = _hash_levels(blocks)
     pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
     l = jnp.zeros((nseg, s), I32)
     c = jnp.clip(cand, 0)
@@ -91,24 +111,23 @@ def _lcp(ranks, cand, lens):
         span = 1 << r
         ia = jnp.minimum(pos + l, s - 1)
         ca = jnp.minimum(c + l, s - 1)
-        ra = jnp.take_along_axis(ranks[r], ia, axis=1)
-        rb = jnp.take_along_axis(ranks[r], ca, axis=1)
+        ha = jnp.take_along_axis(hs[r], ia, axis=1)
+        hb = jnp.take_along_axis(hs[r], ca, axis=1)
+        ga = jnp.take_along_axis(gs[r], ia, axis=1)
+        gb = jnp.take_along_axis(gs[r], ca, axis=1)
         ok = ((cand >= 0) & (pos + l + span <= lens[:, None])
-              & (l + span <= LCP_CAP) & (ra == rb))
+              & (l + span <= LCP_CAP) & (ha == hb) & (ga == gb))
         l = jnp.where(ok, l + span, l)
     return l
 
 
 @lru_cache(maxsize=16)
 def _parse_fn(nseg: int, s: int, t_cap: int, lazy: bool = True):
-    log_s = max(1, (s - 1).bit_length())
-
     @jax.jit
     def run(blocks, lens):
         pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
-        ranks = _build_ranks(blocks, lens)
-        cand = _candidates(ranks[2], pos)
-        lcp = _lcp(ranks, cand, lens)
+        cand = _candidates(blocks, lens)
+        lcp = _lcp_estimate(blocks, cand, lens)
         ll = lens[:, None]
         valid = ((cand >= 0) & (pos - cand <= MAX_DISTANCE)
                  & (lcp >= MIN_MATCH) & (pos <= ll - LAST_MATCH_GUARD))
@@ -154,6 +173,24 @@ def _parse_fn(nseg: int, s: int, t_cap: int, lazy: bool = True):
         mp = jnp.minimum(mpos, s - 1)
         m_len = jnp.where(has, jnp.take_along_axis(mlen, mp, axis=1), 0)
         m_off = jnp.where(has, jnp.take_along_axis(pos - cand, mp, axis=1), 0)
+
+        # exact clamp: byte-verify every selected match, cut at the first
+        # real mismatch (hash LCP only ever overestimates; the 4-byte
+        # candidate key is exact so the cut stays >= MIN_MATCH)
+        tid = jax.vmap(
+            lambda st, q: jnp.searchsorted(st, q, side="right") - 1
+        )(mpos, pos)
+        tid = jnp.clip(tid, 0, t_cap - 1)
+        g2 = lambda a: jnp.take_along_axis(a, tid, axis=1)
+        jj = pos - g2(mpos)
+        src = jnp.clip(pos - g2(m_off), 0)
+        neq = jnp.take_along_axis(blocks, src, axis=1) != blocks
+        badj = jnp.where((jj >= 0) & (jj < g2(m_len)) & neq, jj, s)
+        rows = jnp.broadcast_to(jnp.arange(nseg, dtype=I32)[:, None],
+                                (nseg, s))
+        first_bad = jnp.full((nseg, t_cap), s, I32).at[rows, tid].min(badj)
+        m_len = jnp.minimum(m_len, first_bad)
+
         prev_end = jnp.concatenate(
             [jnp.zeros((nseg, 1), I32),
              (mpos + m_len)[:, :-1]], axis=1)
@@ -251,58 +288,71 @@ def _serialize_fn(nseg: int, s: int, t_cap: int, out_cap: int):
 
 
 @lru_cache(maxsize=16)
-def _walk_fn(nseg: int, t_cap: int, c_cap: int):
-    """Decode pass 1: extract token records from compressed blocks."""
+def _walk_fn(nseg: int, t_cap: int, cmax: int):
+    """Decode pass 1, fully parallel. For EVERY compressed position p,
+    compute f(p) = next token start if a token began at p (pure function
+    of the bytes; 255-continuation runs come from one reverse cummin),
+    then pointer-double the orbit of 0 to enumerate the real token starts.
+    Requires cmax > max segment compressed size (positions >= size are the
+    fixpoints that terminate each orbit)."""
 
     @jax.jit
     def run(comp, bases, ends):
-        # comp: [c_cap] u8 (all segment blocks concatenated, padded)
-        def read(cur):
-            return comp[jnp.minimum(cur, c_cap - 1)].astype(I32)
+        c_cap = comp.shape[0]
+        idx = bases[:, None] + jnp.arange(cmax, dtype=I32)[None, :]
+        rows = comp[jnp.clip(idx, 0, c_cap - 1)].astype(I32)
+        sizes = (ends - bases)[:, None]
+        pos = jnp.broadcast_to(jnp.arange(cmax, dtype=I32), (nseg, cmax))
 
-        def parse_ext(cur, base_val, need):
-            # LZ4 255-continuation; returns (value, new cur)
-            def cond(st):
-                cur, val, more = st
-                return more.any()
+        def gat(a, i):
+            return jnp.take_along_axis(a, jnp.clip(i, 0, cmax - 1), axis=1)
 
-            def body(st):
-                cur, val, more = st
-                b = read(cur)
-                cur2 = jnp.where(more, cur + 1, cur)
-                val2 = jnp.where(more, val + b, val)
-                more2 = more & (b == 255)
-                return cur2, val2, more2
+        rd = lambda i: gat(rows, i)
+        # nn[i] = first position >= i whose byte != 255
+        nn = lax.cummin(jnp.where(rows != 255, pos, cmax - 1), axis=1,
+                        reverse=True)
+        tok = rows
+        lit0 = tok >> 4
+        p1 = pos + 1
+        k = jnp.maximum(gat(nn, p1) - p1, 0)
+        lit = jnp.where(lit0 == 15, 15 + 255 * k + rd(p1 + k), lit0)
+        nlb = jnp.where(lit0 == 15, k + 1, 0)
+        q = p1 + nlb          # literal data start
+        r0 = q + lit          # first byte after the literals
+        has = r0 < sizes      # match present iff not at segment end
+        off = jnp.where(has, rd(r0) | (rd(r0 + 1) << 8), 0)
+        ml0 = tok & 0xF
+        r2 = r0 + 2
+        km = jnp.maximum(gat(nn, r2) - r2, 0)
+        mlen = jnp.where(ml0 == 15, 15 + 255 * km + rd(r2 + km), ml0) \
+            + MIN_MATCH
+        mlen = jnp.where(has, mlen, 0)
+        nxt = jnp.where(has, r2 + jnp.where(ml0 == 15, km + 1, 0), r0)
+        nxt = jnp.where(pos >= sizes, pos, jnp.minimum(nxt, cmax - 1))
 
-            cur, val, _ = lax.while_loop(
-                cond, body, (cur, base_val, need))
-            return val, cur
+        # orbit of 0 under nxt, via doubling (same shape as the encode traj)
+        traj = jnp.full((nseg, t_cap), cmax - 1, I32)
+        traj = lax.dynamic_update_slice(traj, jnp.zeros((nseg, 1), I32),
+                                        (0, 0))
+        p = nxt
+        filled = 1
+        while filled < t_cap:
+            m = min(filled, t_cap - filled)
+            cur = lax.dynamic_slice(traj, (0, 0), (nseg, m))
+            traj = lax.dynamic_update_slice(traj, gat(p, cur), (0, filled))
+            filled *= 2
+            if filled < t_cap:
+                p = gat(p, p)
 
-        def step(carry, _):
-            cur, out_pos, done = carry
-            tok = read(cur)
-            cur1 = cur + 1
-            lit = tok >> 4
-            lit, cur1 = parse_ext(cur1, lit, ~done & (lit == 15))
-            lit_src = cur1
-            cur2 = cur1 + lit
-            has_match = ~done & (cur2 < ends)
-            lo = read(cur2)
-            hi = read(cur2 + 1)
-            off = jnp.where(has_match, lo | (hi << 8), 0)
-            cur3 = jnp.where(has_match, cur2 + 2, cur2)
-            mlen = tok & 0xF
-            mlen, cur3 = parse_ext(cur3, mlen, has_match & (mlen == 15))
-            mlen = jnp.where(has_match, mlen + MIN_MATCH, 0)
-            rec = (jnp.where(done, 0, lit_src), jnp.where(done, 0, lit),
-                   out_pos, mlen, off)
-            out_pos = out_pos + jnp.where(done, 0, lit + mlen)
-            done = done | (cur3 >= ends)
-            return (cur3, out_pos, done), rec
-
-        init = (bases, jnp.zeros(nseg, I32), bases >= ends)
-        (_, out_pos, _), recs = lax.scan(step, init, None, length=t_cap)
-        return recs  # tuple of [t_cap, nseg]
+        val = traj < sizes
+        gt = lambda a: gat(a, traj)
+        l_len = jnp.where(val, gt(lit), 0)
+        l_src = jnp.where(val, gt(q), 0) + bases[:, None]   # global index
+        m_l = jnp.where(val, gt(mlen), 0)
+        m_o = jnp.where(val, gt(off), 0)
+        tot = l_len + m_l
+        out_pos = jnp.cumsum(tot, axis=1) - tot
+        return (l_src.T, l_len.T, out_pos.T, m_l.T, m_o.T)
 
     return run
 
@@ -391,8 +441,9 @@ def slz4_decode_jax(blob) -> bytes:
     ends = (bases + sizes).astype(np.int32)
     lens = np.minimum(s, n - np.arange(n_segs) * s).astype(np.int32)
     t_cap = _t_cap(s)
+    cmax = int(sizes.max()) + 8
     comp_dev = jnp.asarray(comp_pad)
-    recs = _walk_fn(n_segs, t_cap, c_cap)(
+    recs = _walk_fn(n_segs, t_cap, cmax)(
         comp_dev, jnp.asarray(bases), jnp.asarray(ends))
     out = _resolve_fn(n_segs, s, t_cap)(comp_dev, recs, jnp.asarray(lens))
     return np.asarray(jax.device_get(out)).reshape(-1)[: n].tobytes()

@@ -318,6 +318,7 @@ int64_t ct_static_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   uint32_t n;
   std::memcpy(&n, src, 4);
   if (static_cast<int64_t>(n) > cap) return -1;
+  if ((src[4] & 0x1F) > 16) return -1;  // lane bound, matches the oracle
   uint32_t k = 1u << (src[4] & 0x1F);
   bool wide = src[4] & 0x80;
   if (n == 0) return 0;
@@ -419,6 +420,7 @@ int64_t ct_adaptive_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   uint32_t n;
   std::memcpy(&n, src, 4);
   if (static_cast<int64_t>(n) > cap) return -1;
+  if ((src[4] & 0x1F) > 16 || src[6] >= 32) return -1;  // header bounds
   uint32_t k = 1u << (src[4] & 0x1F);
   bool wide = src[4] & 0x80;
   uint32_t inc = src[5];
@@ -569,6 +571,7 @@ int64_t ct_rcq_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   if (src_size < 8) return -1;
   uint32_t n;
   std::memcpy(&n, src, 4);
+  if ((src[4] & 0x1F) > 16 || src[6] >= 32) return -1;  // header bounds
   uint32_t k = 1u << (src[4] & 0x1F);
   bool wide = (src[4] & 0x80) != 0;
   uint32_t inc = src[5];
@@ -757,6 +760,7 @@ int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   if (src_size < 9) return -1;
   uint32_t n;
   std::memcpy(&n, src, 4);
+  if ((src[4] & 0x1F) > 16 || src[6] >= 32) return -1;  // header bounds
   uint32_t k = 1u << (src[4] & 0x1F);
   bool wide = (src[4] & 0x80) != 0;
   uint32_t inc = src[5];

@@ -49,6 +49,19 @@ def test_pallas_single_symbol_run():
     assert rans_pallas.rans_decode_pallas(blob) == data
 
 
+def test_wide_word_counts_single_lane():
+    # >65535 words in one lane forces the u32 per-lane-count path: the
+    # wide bit (lane_desc bit 7) must be set and all backends must agree
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    ref = rans_ref.rans_encode(data, lanes=1)
+    assert ref[4] & 0x80, "wide bit expected for 200 KB random at lanes=1"
+    jx = rans_ops.rans_encode_jax(data, lanes=1)
+    assert jx == ref
+    assert rans_ref.rans_decode(ref) == data
+    assert rans_ops.rans_decode_jax(jx) == data
+
+
 def test_pallas_skewed_symbols():
     rng = np.random.default_rng(2)
     probs = np.array([2.0 ** -min(i // 16 + 1, 14) for i in range(256)])
