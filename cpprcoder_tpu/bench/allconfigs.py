@@ -428,34 +428,349 @@ class BWTJob:
                 "roundtrip_ok": ok}
 
 
-def main(files=None):
+class ANS2Job:
+    """CT-ANS2: adaptive interleaved rANS with windowed model refresh
+    (ops/ans2_ops.py; reference lineage cppans.h + adaptive model)."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        from cpprcoder_tpu.config import pick_lanes
+        from cpprcoder_tpu.ops import ans2_ops, rans_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        self.k = k = lanes or pick_lanes(n)
+        self.inc = ans2_ops.ANS2_INC_DEFAULT
+        self.ll = ans2_ops.ANS2_LIMIT_LOG2_DEFAULT
+        self.rl = ans2_ops.default_refresh_log2(k, n)
+        self.steps = steps = bucket(-(-n // k))
+        self.x2d = jnp.asarray(ans2_ops._pad2d(x, steps, k))
+        self.nn = U32(n)
+        self.enc = ans2_ops._encode_fn(steps, k, self.inc, self.ll, self.rl)
+        self._ops = ans2_ops
+        self._stream_mod = rans_ops
+
+    def warm(self):
+        states, words, pstart, n_words = self.enc(self.x2d, self.nn)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._stream_mod._stream_fn(self.steps * self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        self.dec = self._ops._decode_fn(self.steps, self.k, cap, self.inc,
+                                        self.ll, self.rl)
+        self._enc_out = (stream, states)
+        self._dec_out = self.dec(stream, states, self.nn)
+        self.compressed = nw * 2 + 9 + 4 + 4 * self.k
+
+    def _enc_body(self, p):
+        states, words, pstart, n_words = self.enc(self.x2d ^ p, self.nn)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(states, dtype=U32))
+
+    def _dec_body(self, p):
+        stream, states = self._enc_out
+        out = self.dec(stream ^ p.astype(jnp.uint16), states, self.nn)
+        return jnp.sum(out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
+                              self.x2d.reshape(-1)[: self.n]))
+        return {"file": self.name, "codec": "ans2", "bytes": self.n,
+                "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": eq == self.n}
+
+
+class ASEJob:
+    """CT-ASE1: recency-list bit-packer (ops/ase_ops.py; reference
+    cppase.h:139-324)."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        from cpprcoder_tpu.config import pick_lanes
+        from cpprcoder_tpu.ops import ase_ops, rans_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        self.k = k = lanes or pick_lanes(n)
+        self.steps = steps = bucket(-(-n // k))
+        self.x2d = jnp.asarray(ase_ops._pad2d(x, steps, k))
+        self.nn = U32(n)
+        self.enc = ase_ops._encode_fn(steps, k)
+        self._ops = ase_ops
+        self._stream_mod = rans_ops
+
+    def warm(self):
+        words, pstart, n_words, bitcounts = self.enc(self.x2d, self.nn)
+        nw = int(n_words)
+        self.cap = cap = bucket(max(nw, 1))
+        self.stream_fn = self._stream_mod._stream_fn(
+            self.steps * self.k + self.k, cap)
+        stream = self.stream_fn(words, pstart, n_words)
+        cnts = np.asarray(jax.device_get((bitcounts + 15) // 16),
+                          dtype=np.int64)
+        bases = np.concatenate(([0], np.cumsum(cnts)))[:-1].astype(np.int32)
+        ends = (bases + cnts).astype(np.int32)
+        self.dec = self._ops._decode_fn(self.steps, self.k, cap)
+        self._bases, self._ends = jnp.asarray(bases), jnp.asarray(ends)
+        self._enc_out = stream
+        self._dec_out = self.dec(stream, self._bases, self._ends, self.nn)
+        self.compressed = nw * 2 + 5 + 4 * self.k
+
+    def _enc_body(self, p):
+        words, pstart, n_words, bitcounts = self.enc(self.x2d ^ p, self.nn)
+        stream = self.stream_fn(words, pstart, n_words)
+        return (jnp.sum(stream.astype(U32), dtype=U32)
+                + jnp.sum(bitcounts, dtype=U32))
+
+    def _dec_body(self, p):
+        out = self.dec(self._enc_out ^ p.astype(jnp.uint16), self._bases,
+                       self._ends, self.nn)
+        return jnp.sum(out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        eq = int(_equal_count(self._dec_out.reshape(-1)[: self.n],
+                              self.x2d.reshape(-1)[: self.n]))
+        return {"file": self.name, "codec": "ase", "bytes": self.n,
+                "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": eq == self.n}
+
+
+class O1Job:
+    """CT-RC3: order-1 blended adaptive range coder (ops/o1_ops.py)."""
+
+    def __init__(self, name: str, data: bytes, lanes: int | None = None):
+        from cpprcoder_tpu.ops import o1_ops, range_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        self.n = n = len(x)
+        self.k = k = lanes or o1_ops.pick_lanes(n)
+        self.inc = o1_ops.pick_inc(k)
+        self.l1, self.l0 = o1_ops.LIMIT1_LOG2, o1_ops.LIMIT0_LOG2
+        self.bl = o1_ops.BLEND_LOG2
+        L, lens = o1_ops._chunk_layout(n, k)
+        self.L = L
+        self.steps = steps = bucket(L)
+        self.x2d = jnp.asarray(o1_ops._pad_chunked(x, steps, k, L))
+        self.lens = jnp.asarray(lens, I32)
+        self.enc = o1_ops._encode_fn(steps, k, self.inc, self.l1, self.l0,
+                                     self.bl)
+        total0 = int(self.enc(self.x2d, self.lens)[2])
+        self.cap = bucket(total0 + 8)
+        self._ops = o1_ops
+        self._range_ops = range_ops
+
+    def warm(self):
+        events, lane_sizes, total = self.enc(self.x2d, self.lens)
+        self.mat = self._range_ops._materialize_fn(self.k, events.shape[1],
+                                                   self.cap)
+        payload, sizes = self.mat(events)
+        self.compressed = int(total) + 9 + 2 * self.k
+        self.dec = self._ops._decode_fn(self.steps, self.k, self.inc,
+                                        self.l1, self.l0, self.bl, self.cap)
+        self._enc_out = (payload, sizes)
+        self._dec_out = self.dec(payload, sizes.astype(jnp.int32), self.lens)
+
+    def _enc_body(self, p):
+        events, lane_sizes, total = self.enc(self.x2d ^ p, self.lens)
+        payload, sizes = self.mat(events)
+        return jnp.sum(payload, dtype=U32) + jnp.sum(sizes, dtype=U32)
+
+    def _dec_body(self, p):
+        payload, sizes = self._enc_out
+        out = self.dec(payload ^ p, sizes.astype(jnp.int32), self.lens)
+        return jnp.sum(out, dtype=I32).astype(U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        out = np.asarray(jax.device_get(self._dec_out))   # [steps, k]
+        got = out.T.reshape(self.k, self.steps)[:, : self.L].reshape(
+            -1)[: self.n]
+        x = np.frombuffer(self.data, np.uint8)
+        ok = bool((got.astype(np.uint8) == x).all())
+        return {"file": self.name, "codec": "o1", "bytes": self.n,
+                "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / self.n,
+                "enc_MBps": self.n / self.enc_t / 1e6,
+                "dec_MBps": self.n / self.dec_t / 1e6,
+                "roundtrip_ok": ok}
+
+
+class PipelineJob:
+    """Config 4 end-to-end: blocksort -> MTF-1 -> adaptive range coder as
+    ONE timed device path (reference pipeline precedent:
+    test/main.cpp:944-1002 composes blocksort with a backend coder)."""
+
+    def __init__(self, name: str, data: bytes, block_log2: int = 15):
+        from cpprcoder_tpu.config import adaptive_params_for, pick_lanes
+        from cpprcoder_tpu.ops import bwt_ops, mtf_ops, range_ops
+
+        self.name, self.data = name, data
+        x = np.frombuffer(data, np.uint8)
+        bs = 1 << block_log2
+        nb = max(1, len(x) // bs)
+        self.n = n = nb * bs if len(x) >= bs else len(x)
+        self.nb, self.bs = nb, bs
+        blocks = x[: nb * bs].reshape(nb, bs) if len(x) >= bs else \
+            np.pad(x, (0, bs - len(x))).reshape(1, bs)
+        self.blocks = jnp.asarray(blocks)
+        self.fwd = bwt_ops._forward_fn(nb, bs)
+        self.inv = bwt_ops._inverse_fn(nb, bs)
+        self.mtf_e = mtf_ops._encode_fn(nb, bs, True)
+        self.mtf_d = mtf_ops._decode_fn(nb, bs, True)
+        self.k = k = pick_lanes(nb * bs)
+        self.inc, self.ll = adaptive_params_for(k)
+        self.steps = steps = bucket(-(-(nb * bs) // k))
+        self.pad = steps * k - nb * bs
+        self.nn = U32(nb * bs)
+        self.enc = range_ops._adaptive_encode_fn(steps, k, self.inc, self.ll)
+        self._range_ops = range_ops
+
+    def _enc_chain(self, blocks):
+        last, idx = self.fwd(blocks)
+        ranks = self.mtf_e(last)
+        flat = ranks.reshape(-1)
+        if self.pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(self.pad, flat.dtype)])
+        x2d = flat.reshape(self.steps, self.k)
+        events, lane_sizes, total = self.enc(x2d, self.nn)[:3]
+        return events, total, idx
+
+    def warm(self):
+        events, total, idx = self._enc_chain(self.blocks)
+        self.cap = cap = bucket(int(total) + 8)
+        n_slots = 2 if self.ll <= 16 else 3
+        self.mat = self._range_ops._materialize_fn(
+            self.k, self.steps * n_slots + 2, cap)
+        self.dec = self._range_ops._adaptive_decode_fn(
+            self.steps, self.k, self.inc, self.ll, cap)
+        payload, sizes = self.mat(events)
+        self._enc_out = (payload, sizes, idx)
+        self.compressed = int(total) + 7 + 2 * self.k + 2 * self.nb
+        self._dec_out = self._dec_chain(payload, sizes, idx)
+
+    def _dec_chain(self, payload, sizes, idx):
+        out = self.dec(payload, sizes, self.nn)       # [steps, k] u8
+        ranks = out.reshape(-1)[: self.nb * self.bs].reshape(
+            self.nb, self.bs)
+        last = self.mtf_d(ranks)
+        return self.inv(last, idx)
+
+    def _enc_body(self, p):
+        events, total, idx = self._enc_chain(self.blocks ^ p)
+        payload, sizes = self.mat(events)
+        return (jnp.sum(payload, dtype=U32) + jnp.sum(sizes, dtype=U32)
+                + jnp.sum(idx, dtype=U32))
+
+    def _dec_body(self, p):
+        payload, sizes, idx = self._enc_out
+        out = self._dec_chain(payload ^ p, sizes, idx)
+        return jnp.sum(out, dtype=U32)
+
+    run = RANSJob.run
+
+    def finalize(self):
+        ok = bool(np.asarray(jax.device_get(
+            (self._dec_out == self.blocks).all())))
+        nbytes = self.nb * self.bs
+        return {"file": self.name, "codec": "bwt_mtf1_adaptive",
+                "bytes": nbytes, "k": self.k, "compressed": self.compressed,
+                "ratio": self.compressed / nbytes,
+                "enc_MBps": nbytes / self.enc_t / 1e6,
+                "dec_MBps": nbytes / self.dec_t / 1e6,
+                "roundtrip_ok": ok}
+
+
+class _DevJob:
+    """Adapter: run a bench.device job class under the allconfigs loop."""
+
+    def __init__(self, cls, *args, **kw):
+        self.job = cls(*args, **kw)
+
+    def warm(self):
+        self.job.warm()
+        if hasattr(self.job, "warm_timing"):
+            self.job.warm_timing()
+
+    def run(self):
+        self.job.run()
+
+    def finalize(self):
+        return self.job.finalize()
+
+
+def all_jobs():
+    """(label, factory) pairs covering every codec in the framework —
+    the reference benches every enabled codec per run
+    (test/main.cpp:1274-1385); this is the repo equivalent."""
+    from cpprcoder_tpu.bench import device
+
+    return [
+        ("static", lambda f, d: _DevJob(device.RCJob, f, d, "static")),
+        ("adaptive", lambda f, d: _DevJob(device.RCJob, f, d, "adaptive")),
+        ("rcq_pallas", lambda f, d: _DevJob(device.RCQJob, f, d, "pallas")),
+        ("rcx_pallas", lambda f, d: _DevJob(device.RCXJob, f, d, "pallas")),
+        ("rans_pallas", RANSPallasJob),
+        ("huffman_pallas", HUFFPallasJob),
+        ("rans", RANSJob),
+        ("huffman", HUFFJob),
+        ("ans2", ANS2Job),
+        ("ase", ASEJob),
+        ("o1", O1Job),
+        ("slz4", SLZ4Job),
+        ("bwt_core", BWTJob),
+        ("pipeline", PipelineJob),
+    ]
+
+
+def main(files=None, codecs=None, out="ALLCONFIGS.json"):
     from cpprcoder_tpu.bench.harness import CANTERBURY, load
     from cpprcoder_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    files = files or ["alice29.txt", "kennedy.xls", "ptt5"]
+    files = files or list(CANTERBURY)
     rows = []
-    # kernel-path rows first; ALLCONFIGS.json is rewritten after every row
-    # so a timeout still leaves evidence (the round-2 lesson, bench.py)
-    for cls in (RANSPallasJob, HUFFPallasJob, RANSJob, HUFFJob, SLZ4Job,
-                BWTJob):
+    # ALLCONFIGS.json is rewritten after every row so a timeout still
+    # leaves evidence (the round-2 lesson, bench.py)
+    for label, factory in all_jobs():
+        if codecs and label not in codecs:
+            continue
         for f in files:
             data = load(f)
             try:
-                job = cls(f, data)
+                job = factory(f, data)
                 job.warm()
                 job.run()
                 row = job.finalize()
             except Exception as e:  # isolate per-job failures
-                row = {"file": f, "codec": cls.__name__, "error": repr(e)}
+                row = {"file": f, "codec": label, "error": repr(e)}
             rows.append(row)
             print(json.dumps(row), flush=True)
-            with open("ALLCONFIGS.json", "w") as fh:
+            with open(out, "w") as fh:
                 json.dump(rows, fh, indent=1)
     return rows
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    main(sys.argv[1:] or None)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", default=None)
+    ap.add_argument("--codecs", nargs="*", default=None,
+                    help="subset of codec labels (see all_jobs)")
+    ap.add_argument("--out", default="ALLCONFIGS.json")
+    a = ap.parse_args()
+    main(a.files or None, a.codecs, a.out)
