@@ -25,7 +25,7 @@ def _build() -> str:
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(src)):
         subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, src])
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, src])
     return _SO
 
 
@@ -58,6 +58,9 @@ def load():
                                ctypes.c_uint32, ctypes.c_uint32,
                                ctypes.c_uint32, u8p, ctypes.c_int64]),
             ("ct_rcx_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
+            ("ct_slz4_encode", [u8p, ctypes.c_int64, ctypes.c_uint32,
+                                ctypes.c_uint32, u8p, ctypes.c_int64]),
+            ("ct_slz4_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
         ]:
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -161,4 +164,30 @@ def rcx_decode(blob) -> bytes:
     sz = lib.ct_rcx_decode(_ptr(b), len(b), _ptr(out), n)
     if sz < 0:
         raise RuntimeError("ct_rcx_decode failed")
+    return out[:sz].tobytes()
+
+
+def slz4_encode(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
+    lib = load()
+    x = np.frombuffer(bytes(data), np.uint8) \
+        if not isinstance(data, np.ndarray) else data
+    n = len(x)
+    s = 1 << seg_log2
+    n_segs = -(-n // s) if n else 0
+    cap = n + n // 128 + 16 * max(n_segs, 1) + 4096
+    out = np.empty(cap, np.uint8)
+    sz = lib.ct_slz4_encode(_ptr(x), n, seg_log2, int(lazy), _ptr(out), cap)
+    if sz < 0:
+        raise RuntimeError("ct_slz4_encode failed")
+    return out[:sz].tobytes()
+
+
+def slz4_decode(blob) -> bytes:
+    lib = load()
+    b = np.frombuffer(bytes(blob), np.uint8)
+    n = int.from_bytes(bytes(blob[:4]), "little")
+    out = np.empty(max(n, 1), np.uint8)
+    sz = lib.ct_slz4_decode(_ptr(b), len(b), _ptr(out), n)
+    if sz < 0:
+        raise RuntimeError("ct_slz4_decode failed")
     return out[:sz].tobytes()

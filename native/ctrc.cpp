@@ -824,3 +824,278 @@ int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------ CT-LZ4
+// SLZ4 (LZ4 block format, FORMATS.md; reference lineage test/slz4.h
+// 116-592) with the EXACT nearest-previous-occurrence parse of
+// reference/slz4_ref.py: a latest-position map over exact 4-byte keys
+// (open addressing, no information loss — unlike the reference's 16K
+// single-probe dict), byte-exact LCP capped at 4096, one-step lazy rule.
+// Containers are byte-identical to the oracle and the JAX backend.
+
+namespace {
+
+constexpr int64_t kLzMinMatch = 4;
+constexpr int64_t kLzLcpCap = 4096;
+constexpr int64_t kLzMaxDist = 65535;
+constexpr int64_t kLzEndLiterals = 5;
+constexpr int64_t kLzLastGuard = 12;
+
+struct Lz4Dict {
+  std::vector<uint32_t> keys;
+  std::vector<int32_t> pos;
+  uint32_t mask;
+  explicit Lz4Dict(int64_t n) {
+    uint64_t cap = 8;
+    while (cap < static_cast<uint64_t>(2 * n)) cap <<= 1;
+    keys.assign(cap, 0);
+    pos.assign(cap, -1);
+    mask = static_cast<uint32_t>(cap - 1);
+  }
+  static uint32_t hash(uint32_t k) {
+    k *= 0x9E3779B1u;
+    k ^= k >> 16;
+    return k;
+  }
+  void put(uint32_t key, int32_t p) {
+    uint32_t h = hash(key) & mask;
+    for (;;) {
+      if (pos[h] < 0) {
+        keys[h] = key;
+        pos[h] = p;
+        return;
+      }
+      if (keys[h] == key) {
+        pos[h] = p;
+        return;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  int32_t get(uint32_t key) const {
+    uint32_t h = hash(key) & mask;
+    for (;;) {
+      if (pos[h] < 0) return -1;
+      if (keys[h] == key) return pos[h];
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+inline uint32_t lz_key(const uint8_t* b, int64_t p) {
+  uint32_t k;
+  std::memcpy(&k, b + p, 4);
+  return k;
+}
+
+inline int64_t lz_lcp(const uint8_t* b, int64_t j, int64_t p, int64_t L) {
+  int64_t l = 0;
+  int64_t maxl = L - p;
+  if (maxl > kLzLcpCap) maxl = kLzLcpCap;
+  while (l + 8 <= maxl) {
+    uint64_t a, c;
+    std::memcpy(&a, b + j + l, 8);
+    std::memcpy(&c, b + p + l, 8);
+    if (a != c) {
+      l += __builtin_ctzll(a ^ c) >> 3;
+      return l;
+    }
+    l += 8;
+  }
+  while (l < maxl && b[j + l] == b[p + l]) ++l;
+  return l;
+}
+
+struct LzParser {
+  const uint8_t* b;
+  int64_t L;
+  Lz4Dict dict;
+  int64_t next_to_index = 0;
+  LzParser(const uint8_t* b_, int64_t L_) : b(b_), L(L_), dict(L_) {}
+  void index_up_to(int64_t p) {
+    while (next_to_index < p && next_to_index + kLzMinMatch <= L) {
+      dict.put(lz_key(b, next_to_index),
+               static_cast<int32_t>(next_to_index));
+      ++next_to_index;
+    }
+  }
+  // (mlen, off) of the valid match at p, or (0, 0) — reference/
+  // slz4_ref.py match_at, bit for bit
+  void match_at(int64_t p, int64_t* mlen, int64_t* off) {
+    *mlen = 0;
+    *off = 0;
+    if (p > L - kLzLastGuard) return;
+    index_up_to(p);
+    int32_t j = dict.get(lz_key(b, p));
+    if (j < 0 || p - j > kLzMaxDist) return;
+    int64_t lcp = lz_lcp(b, j, p, L);
+    if (lcp < kLzMinMatch) return;
+    int64_t cap = L - kLzEndLiterals - p;
+    *mlen = lcp < cap ? lcp : cap;
+    *off = p - j;
+  }
+};
+
+// emit one LZ4 token; returns bytes written or -1 on overflow
+inline int64_t lz_emit(const uint8_t* seg, int64_t lit_start,
+                       int64_t lit_len, int64_t mlen, int64_t off,
+                       uint8_t* out, int64_t cap) {
+  int64_t w = 0;
+  int64_t lit_tok = lit_len < 15 ? lit_len : 15;
+  int64_t m_tok = mlen ? (mlen - kLzMinMatch < 15 ? mlen - kLzMinMatch : 15)
+                       : 0;
+  if (w >= cap) return -1;
+  out[w++] = static_cast<uint8_t>((lit_tok << 4) | m_tok);
+  if (lit_len >= 15) {
+    int64_t rem = lit_len - 15;
+    while (rem >= 255) {
+      if (w >= cap) return -1;
+      out[w++] = 255;
+      rem -= 255;
+    }
+    if (w >= cap) return -1;
+    out[w++] = static_cast<uint8_t>(rem);
+  }
+  if (w + lit_len > cap) return -1;
+  std::memcpy(out + w, seg + lit_start, lit_len);
+  w += lit_len;
+  if (mlen) {
+    if (w + 2 > cap) return -1;
+    out[w++] = static_cast<uint8_t>(off & 0xFF);
+    out[w++] = static_cast<uint8_t>(off >> 8);
+    if (mlen - kLzMinMatch >= 15) {
+      int64_t rem = mlen - kLzMinMatch - 15;
+      while (rem >= 255) {
+        if (w >= cap) return -1;
+        out[w++] = 255;
+        rem -= 255;
+      }
+      if (w >= cap) return -1;
+      out[w++] = static_cast<uint8_t>(rem);
+    }
+  }
+  return w;
+}
+
+int64_t lz_compress_segment(const uint8_t* seg, int64_t L, bool lazy,
+                            uint8_t* out, int64_t cap) {
+  LzParser ps(seg, L);
+  int64_t w = 0, i = 0, lit_start = 0;
+  while (i < L) {
+    int64_t mlen, off, mlen2, off2;
+    ps.match_at(i, &mlen, &off);
+    if (mlen && lazy) {
+      ps.match_at(i + 1, &mlen2, &off2);
+      if (mlen2 > mlen) mlen = 0;  // defer, re-decide at i+1
+    }
+    if (mlen) {
+      int64_t t = lz_emit(seg, lit_start, i - lit_start, mlen, off,
+                          out + w, cap - w);
+      if (t < 0) return -1;
+      w += t;
+      i += mlen;
+      lit_start = i;
+    } else {
+      ++i;
+    }
+  }
+  int64_t t = lz_emit(seg, lit_start, L - lit_start, 0, 0, out + w,
+                      cap - w);
+  if (t < 0) return -1;
+  return w + t;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ct_slz4_encode(const uint8_t* src, int64_t n, uint32_t seg_log2,
+                       uint32_t lazy, uint8_t* dst, int64_t cap) {
+  if (seg_log2 < 6 || seg_log2 > 24) return -1;
+  int64_t s = 1ll << seg_log2;
+  int64_t n_segs = n ? (n + s - 1) / s : 0;
+  int64_t hdr = 9 + 4 * n_segs;
+  if (hdr > cap) return -1;
+  uint32_t n32 = static_cast<uint32_t>(n);
+  std::memcpy(dst, &n32, 4);
+  dst[4] = static_cast<uint8_t>(seg_log2);
+  uint32_t ns32 = static_cast<uint32_t>(n_segs);
+  std::memcpy(dst + 5, &ns32, 4);
+  int64_t w = hdr;
+  for (int64_t g = 0; g < n_segs; ++g) {
+    int64_t L = n - g * s;
+    if (L > s) L = s;
+    int64_t t = lz_compress_segment(src + g * s, L, lazy != 0, dst + w,
+                                    cap - w);
+    if (t < 0) return -1;
+    uint32_t t32 = static_cast<uint32_t>(t);
+    std::memcpy(dst + 9 + 4 * g, &t32, 4);
+    w += t;
+  }
+  return w;
+}
+
+int64_t ct_slz4_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
+                       int64_t cap) {
+  if (src_size < 9) return -1;
+  uint32_t n32, ns32;
+  std::memcpy(&n32, src, 4);
+  uint32_t seg_log2 = src[4];
+  std::memcpy(&ns32, src + 5, 4);
+  if (seg_log2 < 6 || seg_log2 > 24) return -1;
+  int64_t n = n32, n_segs = ns32, s = 1ll << seg_log2;
+  if (n > cap) return -1;
+  if (n_segs != (n ? (n + s - 1) / s : 0)) return -1;
+  int64_t hdr = 9 + 4 * n_segs;
+  if (hdr > src_size) return -1;
+  int64_t r = hdr;
+  int64_t out_pos = 0;
+  for (int64_t g = 0; g < n_segs; ++g) {
+    uint32_t bs32;
+    std::memcpy(&bs32, src + 9 + 4 * g, 4);
+    int64_t bend = r + bs32;
+    if (bend > src_size) return -1;
+    int64_t expect = n - g * s;
+    if (expect > s) expect = s;
+    int64_t seg_end = out_pos + expect;
+    while (r < bend) {
+      uint8_t token = src[r++];
+      int64_t lit = token >> 4;
+      if (lit == 15) {
+        for (;;) {
+          if (r >= bend) return -1;
+          uint8_t bb = src[r++];
+          lit += bb;
+          if (bb != 255) break;
+        }
+      }
+      if (r + lit > bend || out_pos + lit > seg_end) return -1;
+      std::memcpy(dst + out_pos, src + r, lit);
+      r += lit;
+      out_pos += lit;
+      if (r >= bend) break;
+      if (r + 2 > bend) return -1;
+      int64_t off = src[r] | (src[r + 1] << 8);
+      r += 2;
+      if (off == 0) return -1;
+      int64_t mlen = (token & 0xF) + kLzMinMatch;
+      if ((token & 0xF) == 15) {
+        for (;;) {
+          if (r >= bend) return -1;
+          uint8_t bb = src[r++];
+          mlen += bb;
+          if (bb != 255) break;
+        }
+      }
+      int64_t start = out_pos - off;
+      if (start < g * s || out_pos + mlen > seg_end) return -1;
+      for (int64_t t = 0; t < mlen; ++t) dst[out_pos + t] = dst[start + t];
+      out_pos += mlen;
+    }
+    if (out_pos != seg_end) return -1;
+    r = bend;
+  }
+  return out_pos == n ? n : -1;
+}
+
+}  // extern "C"

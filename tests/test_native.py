@@ -87,3 +87,34 @@ def test_native_rcx_identity_and_roundtrip():
         assert nat == rcx_ref.rcx_encode(data, lanes=k, inc=inc,
                                          climit_log2=cl, cbits=cb)
         assert native.rcx_decode(nat) == data
+
+
+def test_native_slz4_identity_and_roundtrip():
+    if not native.available():
+        pytest.skip("no g++/native lib")
+    from cpprcoder_tpu.reference import slz4_ref
+
+    rng = np.random.default_rng(9)
+    cases = [b"a" * 20, b"abcabcabcabc" * 50,
+             rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+             b"\x00" * 70000,
+             rng.integers(0, 16, 9000, dtype=np.uint8).tobytes(),
+             b"", b"x", b"xy" * 3]
+    for data in cases:
+        for sl in (12, 17):
+            ref = slz4_ref.slz4_encode(data, seg_log2=sl)
+            assert native.slz4_encode(data, seg_log2=sl) == ref
+            assert native.slz4_decode(ref) == data
+
+
+def test_native_slz4_rejects_corrupt():
+    if not native.available():
+        pytest.skip("no g++/native lib")
+    from cpprcoder_tpu.reference import slz4_ref
+
+    blob = bytearray(slz4_ref.slz4_encode(b"hello world " * 40, seg_log2=12))
+    with pytest.raises(RuntimeError):
+        native.slz4_decode(bytes(blob[: len(blob) // 2]))  # truncated
+    bad = bytes(blob[:4]) + b"\x30" + bytes(blob[5:])      # seg_log2 > 24
+    with pytest.raises(RuntimeError):
+        native.slz4_decode(bad)
