@@ -4,14 +4,16 @@ Same full-loop-in-kernel design as CT-RCQ (ops/rcq_pallas.py — grid over
 window steps, VMEM scratch carries lane state and the model, SUB steps per
 program), extended with the order-1 context model:
 
-  - model C [B, 256] i32 (B = 2^cbits context rows) lives in VMEM scratch;
-    per step every row rescales/quantizes (15-round unrolled long division
-    with a PER-ROW divisor — broadcast [B,1] over [B,256]) and row-cumsums
-    via byte-split MXU dots with a [256,256] triangular one-hot.
-  - per-lane table reads contract the context axis on the MXU: for table
-    piece T (values < 256, bf16-exact), W = T^T @ oh_ctx gives each lane
-    its context's row; symbol selection folds W with symbol/chunk one-hots.
-    No gathers anywhere (XLA TPU gathers serialize; Mosaic has none).
+  - the model (B = 2^cbits context rows) lives in VMEM scratch; per step
+    every row rescales/quantizes (15-round unrolled long division with a
+    per-row divisor) and cumsums via ONE stacked byte-split MXU dot with a
+    [256,256] triangular one-hot. Per-step MXU traffic is ISSUE-LATENCY
+    bound, so all table reads ride single stacked dots: encode contracts
+    the symbol axis ([4B,256] @ oh_sym, then a masked context reduce);
+    decode keeps the model TRANSPOSED [256,B] and contracts the context
+    axis ([1024,B] @ oh_ctx), then finds the symbol with a direct 256-row
+    counting compare — 3 dots per step per direction, no gathers anywhere
+    (XLA TPU gathers serialize; Mosaic has none).
   - the previous symbol per lane (the context source) is one more [1,K]
     u32 scratch vector; the CHUNKED lane layout (lane i owns contiguous
     bytes, ops/rcx_ops.py) makes it the true preceding byte.
@@ -74,7 +76,8 @@ def _ctx_tables(C, climit: int):
 
     Must match models.cxmodel {rescale_rows, quantize_rows} + row cumsum
     bit-for-bit. Returns byte pieces for the MXU contractions:
-    (q_hi, q_lo, ce_hi, ce_lo) [B,256] f32 (< 128 / < 256, bf16-exact)."""
+    (q_hi, q_lo, ce_hi, ce_lo) [B,256] f32 (< 128 / < 256, bf16-exact).
+    The hi/lo cumsum pieces ride ONE stacked [2B,256]@[256,256] dot."""
     B = C.shape[0]
     tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)          # < 2^18
     C = jnp.where(tot >= climit, (C >> 1) | 1, C)
@@ -92,26 +95,50 @@ def _ctx_tables(C, climit: int):
     q_lo = (q & 255).astype(F32)
     tri_incl = (lax.broadcasted_iota(I32, (256, 256), 0)
                 <= lax.broadcasted_iota(I32, (256, 256), 1)).astype(F32)
-    cum_incl = (_dot(q_hi, tri_incl) * 256 + _dot(q_lo, tri_incl))
+    cum2 = _dot(jnp.concatenate([q_hi, q_lo], axis=0), tri_incl)
+    cum_incl = cum2[:B] * 256 + cum2[B:]
     cums_excl = cum_incl.astype(I32) - q                        # <= 2^15
     ce_hi = (cums_excl >> 8).astype(F32)
     ce_lo = (cums_excl & 255).astype(F32)
     return C, q_hi, q_lo, ce_hi, ce_lo
 
 
-def _pick_ctx(piece_hi, piece_lo, oh_sel, oh_ctx_i32):
-    """Per-lane table value: T[ctx_i, sel_i] for byte pieces [B,256].
+def _div_cols(num_u32, d_u32):
+    """Transposed-layout twin of _div_rows: num [256,B], d [1,B]."""
+    q = jnp.zeros_like(num_u32)
+    for b in reversed(range(15)):
+        cand = q | U32(1 << b)
+        q = jnp.where(cand * d_u32 <= num_u32, cand, q)
+    return q.astype(I32)
 
-    W = T @ oh_sel contracts the symbol axis ([B,256]@[256,K] -> [B,K],
-    values < 256 exact); the context axis collapses with an i32 masked
-    reduce. Returns [1,K] u32."""
-    w_hi = _dot(piece_hi, oh_sel).astype(I32)
-    w_lo = _dot(piece_lo, oh_sel).astype(I32)
-    v_hi = jnp.sum(jnp.where(oh_ctx_i32 > 0, w_hi, 0), axis=0,
-                   keepdims=True, dtype=I32)
-    v_lo = jnp.sum(jnp.where(oh_ctx_i32 > 0, w_lo, 0), axis=0,
-                   keepdims=True, dtype=I32)
-    return (v_hi * 256 + v_lo).astype(U32)
+
+def _ctx_tables_t(CT, climit: int):
+    """Transposed twin of _ctx_tables for the decode kernel: model CT is
+    [256, B] (symbol-major) so the per-lane full-row fetch is ONE
+    [1024,B]@[B,K] dot with no per-step transposes. Bit-identical math."""
+    B = CT.shape[1]
+    tot = jnp.sum(CT, axis=0, keepdims=True, dtype=I32)         # [1,B]
+    CT = jnp.where(tot >= climit, (CT >> 1) | 1, CT)
+    tot = jnp.sum(CT, axis=0, keepdims=True, dtype=I32)
+    q = jnp.maximum(
+        _div_cols(CT.astype(U32) * U32(QTOTAL - QRESERVE),
+                  tot.astype(U32)), 1)
+    rem = I32(QTOTAL) - jnp.sum(q, axis=0, keepdims=True, dtype=I32)
+    m = jnp.max(q, axis=0, keepdims=True)
+    rows = lax.broadcasted_iota(I32, (256, B), 0)
+    first = jnp.min(jnp.where(q == m, rows, I32(4096)), axis=0,
+                    keepdims=True)
+    q = q + rem * (rows == first).astype(I32)
+    q_hi = (q >> 8).astype(F32)
+    q_lo = (q & 255).astype(F32)
+    tri_low = (lax.broadcasted_iota(I32, (256, 256), 0)
+               >= lax.broadcasted_iota(I32, (256, 256), 1)).astype(F32)
+    cum2 = _dot(tri_low, jnp.concatenate([q_hi, q_lo], axis=1))
+    cum_incl = cum2[:, :B] * 256 + cum2[:, B:]
+    cums_excl = cum_incl.astype(I32) - q                        # <= 2^15
+    ce_hi = (cums_excl >> 8).astype(F32)
+    ce_lo = (cums_excl & 255).astype(F32)
+    return CT, q_hi, q_lo, ce_hi, ce_lo
 
 
 def _hist_ctx(oh_ctx_masked, oh_sym):
@@ -124,10 +151,6 @@ def _hist_ctx(oh_ctx_masked, oh_sym):
 
 def _lane_iota(k):
     return lax.broadcasted_iota(I32, (1, k), 1)
-
-
-def _iota16_col_k(k):
-    return lax.broadcasted_iota(I32, (16, k), 0)
 
 
 # ------------------------------------------------------------------ encode
@@ -172,8 +195,19 @@ def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
         oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
         oh_ctx = oh_ctx_i32.astype(F32)
         oh_sym = (iota_256 == syms).astype(F32)
-        c = _pick_ctx(ce_hi, ce_lo, oh_sym, oh_ctx_i32)
-        f = _pick_ctx(q_hi, q_lo, oh_sym, oh_ctx_i32)
+        # ONE stacked [4B,256]@[256,K] dot fetches all four table pieces
+        # at the lanes' symbols (was 4 dots via _pick_ctx x2 — MXU issue
+        # latency, not throughput, bounds this kernel)
+        W4 = _dot(jnp.concatenate([ce_hi, ce_lo, q_hi, q_lo], axis=0),
+                  oh_sym).astype(I32)                  # [4B, Kp]
+
+        def _blk(i):
+            return jnp.sum(
+                jnp.where(oh_ctx_i32 > 0, W4[i * B:(i + 1) * B], 0),
+                axis=0, keepdims=True, dtype=I32)
+
+        c = (_blk(0) * 256 + _blk(1)).astype(U32)
+        f = (_blk(2) * 256 + _blk(3)).astype(U32)
 
         t = st[2] >> QBITS
         is_top = (c + f) == U32(QTOTAL)
@@ -299,7 +333,7 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
         q1_s[:] = jnp.zeros((1, kp), U32)
         occ_s[:] = jnp.zeros((1, kp), U32)
         widx_s[:] = jnp.ones((1, kp), I32)
-        C_s[:] = jnp.ones((B, 256), I32)
+        C_s[:] = jnp.ones((256, B), I32)
         prev_s[:] = jnp.zeros((1, kp), I32)
 
     n = n_ref[0, 0]
@@ -309,14 +343,12 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
     q1 = q1_s[:]
     occ = occ_s[:]
     widx = widx_s[:]
-    C = C_s[:]
+    CT = C_s[:]
     prev = prev_s[:]
     l4_iota = lax.broadcasted_iota(I32, (l4, kp), 0)
     lanes = _lane_iota(kp)
     iota_b = lax.broadcasted_iota(I32, (B, kp), 0)
     iota_256 = lax.broadcasted_iota(I32, (256, kp), 0)
-    fold16 = ((lax.broadcasted_iota(I32, (16, 256), 1) & 15)
-              == lax.broadcasted_iota(I32, (16, 256), 0)).astype(F32)
     rows = rows_ref[:]
     out_rows = []
 
@@ -331,7 +363,7 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
         occ = jnp.where(need, occ + 4, occ)
         widx = widx + need.astype(I32)
 
-        C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
+        CT, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables_t(CT, climit)
         j_abs = pid * SUB + j
         active = ((j_abs < stride)
                   & (lanes * stride + j_abs < n)
@@ -340,37 +372,22 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
         oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
         oh_ctx = oh_ctx_i32.astype(F32)
 
-        # level 1: chunk cums of the lane's context row.
-        # chunk piece extraction: select columns 0,16,..,240 of cums_excl.
-        sel16 = ((lax.broadcasted_iota(I32, (256, 16), 0)
-                  == lax.broadcasted_iota(I32, (256, 16), 1) * 16)
-                 ).astype(F32)
-        ch_hi = _dot(ce_hi, sel16)                     # [B,16] < 128
-        ch_lo = _dot(ce_lo, sel16)
-        chunk_rows = (_dot(ch_hi.T, oh_ctx) * 256
-                      + _dot(ch_lo.T, oh_ctx)).astype(I32)   # [16,K]
+        # ONE [1024,B]@[B,K] dot hands every lane its context's full
+        # cumulative + frequency rows; the symbol search is then a direct
+        # 256-row counting compare (replaces the former 16+16 two-level
+        # search and its ~12 extra dots — MXU issue latency dominated)
+        W = _dot(jnp.concatenate([ce_hi, ce_lo, q_hi, q_lo], axis=0),
+                 oh_ctx).astype(I32)                   # [1024, Kp]
+        ce_full = W[:256] * 256 + W[256:512]           # [256, Kp] <= 2^15
+        q_full = W[512:768] * 256 + W[768:1024]
         t = rng >> QBITS
-        le_hi = chunk_rows.astype(U32) * t <= code
-        s_hi = jnp.sum(le_hi.astype(I32), axis=0, keepdims=True) - 1
-
-        # level 2: the 16 in-chunk values of (ctx, s_hi)
-        colsel = ((iota_256 >> 4) == s_hi).astype(F32)  # [256,K]
-        w_ce_hi = _dot(ce_hi.T, oh_ctx) * colsel       # [256,K] < 128
-        w_ce_lo = _dot(ce_lo.T, oh_ctx) * colsel
-        w_q_hi = _dot(q_hi.T, oh_ctx) * colsel
-        w_q_lo = _dot(q_lo.T, oh_ctx) * colsel
-        c16 = (_dot(fold16, w_ce_hi) * 256 + _dot(fold16, w_ce_lo)
-               ).astype(I32)                           # [16,K]
-        q16 = (_dot(fold16, w_q_hi) * 256 + _dot(fold16, w_q_lo)
-               ).astype(I32)
-        le_lo = c16.astype(U32) * t <= code
-        s_lo = jnp.sum(le_lo.astype(I32), axis=0, keepdims=True) - 1
-        oh_lo = (_iota16_col_k(kp) == s_lo).astype(F32)
-        c = jnp.sum(jnp.where(oh_lo > 0, c16, I32(0)), axis=0,
+        le = ce_full.astype(U32) * t <= code           # exact: < 2^32
+        s = jnp.sum(le.astype(I32), axis=0, keepdims=True) - 1
+        sym_mask = iota_256 == s
+        c = jnp.sum(jnp.where(sym_mask, ce_full, 0), axis=0,
                     keepdims=True, dtype=I32).astype(U32)
-        f = jnp.sum(jnp.where(oh_lo > 0, q16, I32(0)), axis=0,
+        f = jnp.sum(jnp.where(sym_mask, q_full, 0), axis=0,
                     keepdims=True, dtype=I32).astype(U32)
-        s = (s_hi << 4) | s_lo
 
         code = code - c * t
         rng = jnp.where((c + f) == U32(QTOTAL), rng - c * t, f * t)
@@ -383,12 +400,14 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
             code = jnp.where(do, (code << 8) | b, code)
             rng = jnp.where(do, rng << 8, rng)
 
-        oh_sym = (iota_256 == s).astype(F32)
-        C = C + _hist_ctx(oh_ctx, oh_sym) * I32(inc)
+        oh_sym = sym_mask.astype(F32)
+        CT = CT + jax.lax.dot_general(
+            oh_sym, oh_ctx, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32).astype(I32) * I32(inc)
         prev = jnp.where(active, s, prev)
         out_rows.append(s)
 
-    C_s[:] = C
+    C_s[:] = CT
     prev_s[:] = prev
     out_ref[:] = jnp.concatenate(out_rows, axis=0)
     rng_s[:] = rng
@@ -433,7 +452,7 @@ def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
                 pltpu.VMEM((1, kp), U32),            # q1
                 pltpu.VMEM((1, kp), U32),            # occ
                 pltpu.VMEM((1, kp), I32),            # widx
-                pltpu.VMEM((1 << cbits, 256), I32),  # C
+                pltpu.VMEM((256, 1 << cbits), I32),  # C (transposed)
                 pltpu.VMEM((1, kp), I32),            # prev symbol
             ],
             interpret=_INTERPRET,
