@@ -36,14 +36,24 @@ I32 = jnp.int32
 
 @lru_cache(maxsize=4)
 def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
-               batch: int):
+               batch: int, codec: str = "rcq", cbits: int = 0,
+               stride: int = 0):
     from cpprcoder_tpu.ops import range_ops, rcq_ops, rcq_pallas
 
     kp = max(k, rcq_pallas.MIN_LANES)
-    enc = rcq_pallas._encode_call(steps, k, kp, inc, cl)
+    if codec == "rcx":
+        from cpprcoder_tpu.ops import rcx_pallas
+
+        enc = rcx_pallas._encode_call(steps, k, kp, inc, cl, cbits, stride)
+        dec = rcx_pallas._decode_call(steps, k, kp, l4, inc, cl, cbits,
+                                      stride)
+        dec_call = lambda rows, n: dec(rows.T, n.astype(I32))
+    else:
+        enc = rcq_pallas._encode_call(steps, k, kp, inc, cl)
+        dec0 = rcq_pallas._decode_call(steps, k, kp, l4, inc, cl)
+        dec_call = lambda rows, n: dec0(rows.T, n)
     mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
     rows_fn = rcq_ops._rows_fn(k, l4, cap)
-    dec = rcq_pallas._decode_call(steps, k, kp, l4, inc, cl)
 
     @jax.jit
     def run_batch(x3d, n):
@@ -53,7 +63,7 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
             events_t, lane_sizes, total = enc(x3d[b], n)
             payload, sizes = mat(events_t)
             rows = rows_fn(payload, sizes.astype(I32))
-            out = dec(rows.T, n)
+            out = dec_call(rows, n)
             dec_syms = out[: steps].reshape(-1)
             src = x3d[b].reshape(-1)
             eqs.append(jnp.sum((dec_syms == src).astype(I32), dtype=I32))
@@ -64,18 +74,28 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
 
 
 def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
-                batch: int = 8, lanes: int = 2048, seed: int = 0) -> dict:
+                batch: int = 8, lanes: int = 2048, seed: int = 0,
+                codec: str = "rcq") -> dict:
     from cpprcoder_tpu.bench.synth import synth_stream
 
     data = synth_stream(total_bytes, seed)
     n = len(data)
     n_sb = -(-n // superblock)
     n_batches = -(-n_sb // batch)
-    k, inc, cl = rcq_params(superblock, lanes)
+    if codec == "rcx":
+        from cpprcoder_tpu.models.cxmodel import rcx_params
+
+        k, inc, cl, cbits = rcx_params(superblock, lanes)
+        stride = -(-superblock // k)
+        hdr = 9 + 2 * k
+    else:
+        k, inc, cl = rcq_params(superblock, lanes)
+        cbits, stride = 0, 0
+        hdr = 8 + 2 * k
     steps = bucket(-(-superblock // k))
     cap = bucket(superblock + (superblock >> 4) + 16 * k + 1024)
     l4 = bucket((2 * steps + 8) // 4 + 2)
-    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch)
+    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch, codec, cbits, stride)
     nn = U32(superblock)
 
     # pad the stream to whole batches
@@ -84,8 +104,16 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
 
     def batch_arr(i):
         seg = padded[i * batch * superblock:(i + 1) * batch * superblock]
+        sb = seg.reshape(batch, superblock)
+        if codec == "rcx":
+            from cpprcoder_tpu.ops.rcx_ops import _pad2d_chunked
+
+            out = np.stack([
+                _pad2d_chunked(sb[b], steps, k, stride)
+                for b in range(batch)])
+            return jnp.asarray(out)
         out = np.zeros((batch, steps * k), np.uint8)
-        out[:, :superblock] = seg.reshape(batch, superblock)
+        out[:, :superblock] = sb
         return jnp.asarray(out.reshape(batch, steps, k))
 
     # warm/compile on batch 0
@@ -112,10 +140,10 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
     wall = time.perf_counter() - t0
 
     ok = eq_total == n_batches * batch * steps * k
-    comp = total_comp + n_sb * (8 + 2 * k)
+    comp = total_comp + n_sb * hdr
     per_byte = 2 * batch * superblock  # enc+dec per batch
     return {
-        "codec": "rcq_pallas", "bytes": n, "superblock": superblock,
+        "codec": f"{codec}_pallas", "bytes": n, "superblock": superblock,
         "k": k, "n_superblocks": n_sb, "batch": batch,
         "ratio": comp / n,
         "stream_wall_s": round(wall, 3),
@@ -136,4 +164,6 @@ if __name__ == "__main__":
 
     enable_compilation_cache()
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 30
-    print(json.dumps(bench_large(total_bytes=total)), flush=True)
+    codec = sys.argv[2] if len(sys.argv) > 2 else "rcx"
+    print(json.dumps(bench_large(total_bytes=total, codec=codec)),
+          flush=True)
