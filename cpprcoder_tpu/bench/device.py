@@ -195,32 +195,47 @@ class RCXJob:
         self.enc_t = self.dec_t = None
 
     def _encode_full(self, x2d):
+        """pallas: events -> padded per-lane byte rows (merge expansion,
+        ops/compaction.materialize_rows_t) — the device-resident
+        interchange the decode kernel reads directly. jax backend keeps
+        the flat lane-major payload."""
         events, lane_sizes, total = self.enc(x2d, self.nn)
+        if self.backend == "pallas" and getattr(self, "l2", None):
+            from cpprcoder_tpu.ops import compaction
+
+            rows, sizes = compaction.materialize_rows_t(events, self.l2)
+            return rows, sizes, total
         payload, sizes = self.mat(events)
         return payload, sizes, total
 
     def _enc_body(self, p):
         e = self._encode_full(self.x2d ^ p)
-        return jnp.sum(e[0], dtype=U32) + jnp.sum(e[1], dtype=U32)
+        return (jnp.sum(e[0].astype(U32), dtype=U32)
+                + jnp.sum(e[1], dtype=U32))
 
     def _dec_full(self, payload, sizes):
-        rows = self._rows(payload, sizes)
         if self.backend == "pallas":
-            return self.dec(rows.T, jnp.int32(self.n))
+            from cpprcoder_tpu.ops import compaction
+
+            rows_w = compaction.rows_to_be_words(payload)
+            return self.dec(rows_w.T, jnp.int32(self.n))
+        rows = self._rows(payload, sizes)
         return self.dec(rows, self.nn)
 
     def _dec_body(self, p):
         payload, sizes, _ = self._enc_out
-        out = self._dec_full(payload ^ p, sizes)
+        out = self._dec_full(payload ^ p.astype(payload.dtype), sizes)
         return jnp.sum(out, dtype=jnp.int32).astype(U32)
 
     def warm(self):
         from cpprcoder_tpu.ops.rcq_ops import _rows_fn
 
+        probe = self.enc(self.x2d, self.nn)
+        max_sz = int(np.asarray(jax.device_get(probe[1])).max())
+        self.l4 = self._bucket(-(-max_sz // 4) + 1)
+        self.l2 = 4 * self.l4
         self._enc_out = self._encode_full(self.x2d)
         payload, sizes, total = self._enc_out
-        max_sz = int(np.asarray(jax.device_get(sizes)).max())
-        self.l4 = self._bucket(-(-max_sz // 4) + 1)
         self._rows = lambda pl_, sz: _rows_fn(self.k, self.l4, self.cap)(
             pl_, sz.astype(jnp.int32))
         if self.backend == "pallas":

@@ -242,6 +242,23 @@ def lane_layout(events):
 # re-orders anyway) — only the pstart VALUES must reflect the lane-major
 # payload layout, which the column-wise cumsums below compute.
 
+def _cumsum_rows_mxu(cnt):
+    """Inclusive per-COLUMN cumsum of cnt [E, K] as one triangular MXU dot.
+
+    jnp.cumsum(axis=0) over [E≈1000, K≈2000] lowers to a slow major-axis
+    scan on TPU; tri @ cnt is one [E,E]@[E,K] matmul. Exact: cnt and all
+    partial sums stay < 2^24 (pstart capacity is 2^22), f32-representable;
+    HIGHEST precision keeps the MXU from truncating inputs to bf16."""
+    E = cnt.shape[0]
+    tri = (jax.lax.broadcasted_iota(I32, (E, E), 0)
+           >= jax.lax.broadcasted_iota(I32, (E, E), 1)).astype(jnp.float32)
+    out = jax.lax.dot_general(tri, cnt.astype(jnp.float32),
+                              (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+    return out.astype(I32)
+
+
 def payload_layout_t(events_t, may_drop=True):
     """events_t [E, K] -> (pcnt [E,K], pstart [E,K], dropped [E,K],
     lane_sizes [K], total).
@@ -252,20 +269,141 @@ def payload_layout_t(events_t, may_drop=True):
     chunk may still drop (codecs/resume.py)."""
     emit, _, _, run_len = event_fields(events_t)
     cnt = jnp.where(emit, 1 + run_len, 0).astype(I32)
-    cum_lane = jnp.cumsum(cnt, axis=0)              # per-lane inclusive
+    cum_lane = _cumsum_rows_mxu(cnt)                # per-lane inclusive
     prior = cum_lane - cnt
     first_emit = emit & (prior == 0)
     if isinstance(may_drop, bool):
         dropped = first_emit if may_drop else jnp.zeros_like(emit)
     else:
         dropped = first_emit & may_drop[None, :]
-    pcnt = cnt - dropped.astype(I32)
-    pin_lane = jnp.cumsum(pcnt, axis=0) - pcnt      # exclusive, per lane
+    dcnt = dropped.astype(I32)
+    pcnt = cnt - dcnt
+    # exclusive cumsum of pcnt = (inclusive cnt) - (inclusive dropped) - pcnt
+    pin_lane = cum_lane - _cumsum_rows_mxu(dcnt) - pcnt
     lane_sizes = cum_lane[-1, :] - dropped.sum(axis=0, dtype=I32)
     lane_offsets = jnp.cumsum(lane_sizes) - lane_sizes
     pstart = pin_lane + lane_offsets[None, :]
     total = lane_sizes.sum()
     return pcnt, pstart, dropped, lane_sizes, total
+
+
+# ------------------------------------------------- per-lane merge expansion
+#
+# The flat two-sort expansion pays two full lax.sort passes over
+# M + out_cap ≈ 3M u32 (~10 ms for a 1 MB input — 10x the encode kernel
+# itself, measured round 4). But per LANE the two record streams are each
+# already sorted: event pin offsets are nondecreasing in time, positions
+# are an iota. Expansion per lane is therefore a bitonic MERGE — log2(R2)
+# roll-based compare-exchange stages along the MINOR axis of a [K, R2]
+# tile (R2 ≈ E + l2), plus a reversed swap-replay to return position
+# records to their slots. ~22 elementwise stages instead of ~2·log^2
+# sort stages, at layouts the TPU likes.
+
+def _merge_stages(arr):
+    """Sort a per-row bitonic (asc-then-desc) [K, R2] u32 array ascending.
+
+    Returns (sorted, swap_masks) where each mask holds the LOWER-index
+    swap decisions of one compare-exchange stage (partner = i ^ d)."""
+    R2 = arr.shape[1]
+    iota = jax.lax.broadcasted_iota(I32, (1, R2), 1)
+    swaps = []
+    d = R2 // 2
+    while d >= 1:
+        up = jnp.roll(arr, -d, axis=1)
+        dn = jnp.roll(arr, d, axis=1)
+        lower = (iota & d) == 0
+        sw_low = lower & (arr > up)
+        arr = jnp.where(lower,
+                        jnp.where(sw_low, up, arr),
+                        jnp.where(jnp.roll(sw_low, d, axis=1), dn, arr))
+        swaps.append(sw_low)
+        d //= 2
+    return arr, swaps
+
+
+def _unmerge_stages(vals, swaps):
+    """Replay recorded swaps in reverse: vals return to pre-merge slots."""
+    R2 = vals.shape[1]
+    iota = jax.lax.broadcasted_iota(I32, (1, R2), 1)
+    d = 1
+    for sw_low in reversed(swaps):
+        up = jnp.roll(vals, -d, axis=1)
+        dn = jnp.roll(vals, d, axis=1)
+        lower = (iota & d) == 0
+        vals = jnp.where(lower,
+                         jnp.where(sw_low, up, vals),
+                         jnp.where(jnp.roll(sw_low, d, axis=1), dn, vals))
+        d *= 2
+    return vals
+
+
+def _expand_rows(first_T, run_T, pcnt_T, pin_T, dropped_T, lane_sizes,
+                 l2: int):
+    """Per-lane expansion to padded byte rows [K, l2].
+
+    Operands are LANE-MAJOR [K, E]; pin_T is the PER-LANE exclusive byte
+    cumsum (no lane offsets — capacity bound pin < 2^22 is per lane and
+    always holds). Record scheme of _expand_merge (tag 0 non-contributing,
+    1..512 contributing = val9+1, 1023 position), laid out
+    [events | 0xFFFFFFFF pad | positions reversed] so each row is bitonic."""
+    K_, E = first_T.shape
+    first_eff = jnp.where(dropped_T, run_T, first_T).astype(U32)
+    val9 = first_eff | ((run_T.astype(U32) == 0).astype(U32) << 8)
+    contrib = pcnt_T > 0
+    ev_keys = (pin_T.astype(U32) << 10) | jnp.where(contrib, val9 + 1,
+                                                    U32(0))
+    R2 = 1 << (E + l2 - 1).bit_length()
+    pad = jnp.full((K_, R2 - E - l2), 0xFFFFFFFF, U32)
+    pos_rev = jnp.broadcast_to(
+        (jnp.arange(l2 - 1, -1, -1, dtype=U32) << 10) | U32(1023),
+        (K_, l2))
+    arr = jnp.concatenate([ev_keys, pad, pos_rev], axis=1)
+    s, swaps = _merge_stages(arr)
+    tag = s & U32(1023)
+    is_contrib = (tag >= 1) & (tag <= 512)
+    fill = jax.lax.cummax(jnp.where(is_contrib, s, U32(0)), axis=1)
+    p = s >> 10
+    v9 = (fill & U32(1023)) - 1
+    byte = jnp.where(p == (fill >> 10), v9 & U32(0xFF),
+                     jnp.where((v9 >> 8) & 1 > 0, U32(0x00), U32(0xFF)))
+    byte = jnp.where(p < lane_sizes[:, None].astype(U32), byte, U32(0))
+    back = _unmerge_stages(jnp.where(tag == U32(1023), byte, U32(0)), swaps)
+    return back[:, R2 - l2:][:, ::-1].astype(jnp.uint8)
+
+
+def materialize_rows_t(events_t, l2: int, may_drop=True):
+    """Padded per-lane payload rows for time-major [E, K] event grids.
+
+    Returns (rows [K, l2] u8, lane_sizes [K]): row i holds lane i's payload
+    bytes 0..lane_sizes[i] (zero beyond). This is the device-resident
+    interchange layout — the decode kernels read exactly these rows (as
+    big-endian u32 words), and the container's flat lane-major payload is
+    row slicing (host-side np, or one device compaction for the wrappers).
+    Requires l2 >= max lane size."""
+    emit, first, run_byte, run_len = event_fields(events_t)
+    cnt = jnp.where(emit, 1 + run_len, 0).astype(I32)
+    cum_lane = _cumsum_rows_mxu(cnt)
+    prior = cum_lane - cnt
+    first_emit = emit & (prior == 0)
+    if isinstance(may_drop, bool):
+        dropped = first_emit if may_drop else jnp.zeros_like(emit)
+    else:
+        dropped = first_emit & may_drop[None, :]
+    dcnt = dropped.astype(I32)
+    pcnt = cnt - dcnt
+    pin_lane = cum_lane - _cumsum_rows_mxu(dcnt) - pcnt
+    lane_sizes = cum_lane[-1, :] - dropped.sum(axis=0, dtype=I32)
+    rows = _expand_rows(first.T, run_byte.T, pcnt.T, pin_lane.T, dropped.T,
+                        lane_sizes, l2)
+    return rows, lane_sizes
+
+
+def rows_to_be_words(rows):
+    """[K, l2] u8 byte rows -> [K, l2//4] big-endian u32 word rows (the
+    decode kernels' input layout, same convention as rcq_ops._rows_fn)."""
+    r = rows.astype(jnp.uint32)
+    return ((r[:, 0::4] << 24) | (r[:, 1::4] << 16)
+            | (r[:, 2::4] << 8) | r[:, 3::4])
 
 
 def materialize_t(events_t, out_cap: int, may_drop=True):
