@@ -60,7 +60,7 @@ def main(argv=None):
     from cpprcoder_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from cpprcoder_tpu.bench.device import RCXJob
+    from cpprcoder_tpu.bench.device import RCXJob, SmallBatchRCXJob
     from cpprcoder_tpu.bench.harness import CANTERBURY, REF_RATIOS, load
 
     rows = []
@@ -70,27 +70,43 @@ def main(argv=None):
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=1)
 
-    for name in CANTERBURY:
-        data = load(name)
-        job = RCXJob(name, data, backend="pallas")
+    # files small enough to be latency-floor bound ride ONE batched
+    # dispatch (CT-SB small-file packing; per-file containers identical
+    # to solo encodes — bench/device.SmallBatchRCXJob)
+    SMALL_MAX = 1 << 16
+    small = [(n, load(n)) for n in CANTERBURY if len(load(n)) <= SMALL_MAX]
+    big = [n for n in CANTERBURY if len(load(n)) > SMALL_MAX]
+
+    jobs = []
+    if len(small) >= 2:
+        jobs.append((SmallBatchRCXJob(small), [n for n, _ in small]))
+    else:
+        big = list(CANTERBURY)
+    for name in big:
+        jobs.append((RCXJob(name, load(name), backend="pallas"), [name]))
+
+    for job, names in jobs:
         job.warm()
-        _emit({"progress": name, "warmed_s": round(time.time() - t0, 1)})
+        _emit({"progress": "+".join(names),
+               "warmed_s": round(time.time() - t0, 1)})
         if warm_only:
             job.warm_timing()
-            _emit({"progress": name, "timing_warmed_s":
+            _emit({"progress": "+".join(names), "timing_warmed_s":
                    round(time.time() - t0, 1)})
             continue
         if time.time() - t0 < deadline:
             job.run()
-            row = job.finalize()
+            out = job.finalize()
         else:  # deadline: verify, skip timing (partial evidence > nothing)
-            row = job.finalize() if job.enc_t else dict(
-                file=name, bytes=job.n, enc_MBps=float("nan"),
+            out = job.finalize() if getattr(job, "enc_t", None) else [dict(
+                file=n, bytes=len(load(n)), enc_MBps=float("nan"),
                 dec_MBps=float("nan"), timing=["deadline_skipped"] * 2,
-                roundtrip_ok=False, compressed=0, ratio=1.0, k=job.k,
-                codec="rcx_pallas")
-        rows.append(row)
-        _emit(row)
+                roundtrip_ok=False, compressed=0, ratio=1.0, k=0,
+                codec="rcx_pallas") for n in names]
+        out = out if isinstance(out, list) else [out]
+        for row in out:
+            rows.append(row)
+            _emit(row)
         write_details()
 
     if warm_only:

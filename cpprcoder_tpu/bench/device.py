@@ -430,3 +430,144 @@ class RCQJob:
 
 # the slope-with-wall-bound measurement protocol is identical for both jobs
 RCXJob._measure = RCQJob._measure
+
+
+class SmallBatchRCXJob:
+    """Several small files packed into ONE CT-RCX kernel dispatch.
+
+    Each file owns a disjoint lane group and its own model-row block
+    (ctx_base) inside the generalized kernels, so its output bytes are
+    IDENTICAL to a solo encode with the same (k_i, inc, climit, cbits) —
+    this is the CT-SB small-file packing of FORMATS.md made first-class
+    in the bench. Per-file lane counts are chosen so chunk strides
+    roughly equalize (no lane group idles the grid). Throughput rows are
+    bytes-proportional shares of the one measured batch wall (every file
+    rides the same dispatch), marked timing "batched(N)".
+    """
+
+    def __init__(self, items):
+        from cpprcoder_tpu.models.cxmodel import rcx_params
+        from cpprcoder_tpu.ops import rcx_pallas
+        from cpprcoder_tpu.utils.shapes import bucket
+
+        self.items = items                      # [(name, data)]
+        ns = [len(d) for _, d in items]
+        self.total = sum(ns)
+        n_max = max(ns)
+        _, self.inc, self.cl, self.cbits = rcx_params(n_max)
+        s_target = -(-n_max // 128)
+        self.ks, self.strides, self.offs = [], [], []
+        off = 0
+        for n in ns:
+            k = 8
+            while -(-n // k) > s_target and k < 128:
+                k *= 2
+            self.ks.append(k)
+            self.strides.append(-(-n // k))
+            self.offs.append(off)
+            off += k
+        self.k_tot = off
+        self.kp = max(rcx_pallas.MIN_LANES, bucket(off))
+        self.steps = steps = bucket(max(self.strides))
+        xp = np.zeros((steps, self.kp), np.uint8)
+        ll = np.zeros((1, self.kp), np.int32)
+        cb = np.zeros((1, self.kp), np.int32)
+        for i, (_, data) in enumerate(items):
+            x = np.frombuffer(data, np.uint8)
+            k, st, o = self.ks[i], self.strides[i], self.offs[i]
+            col = np.zeros((k, steps), np.uint8)
+            padded = np.zeros(k * st, np.uint8)
+            padded[: len(x)] = x
+            col[:, :st] = padded.reshape(k, st)
+            xp[:, o:o + k] = col.T
+            ll[0, o:o + k] = np.clip(len(x) - np.arange(k) * st, 0, st)
+            cb[0, o:o + k] = i << self.cbits
+        self.xp = jnp.asarray(xp)
+        self.ll = jnp.asarray(ll)
+        self.cb = jnp.asarray(cb)
+        self.enc = rcx_pallas._encode_call_multi(
+            steps, self.k_tot, self.kp, self.inc, self.cl, self.cbits,
+            len(items))
+        self._rcx_pallas = rcx_pallas
+        self._bucket = bucket
+
+    def _encode_full(self, xp):
+        from cpprcoder_tpu.ops import compaction
+
+        events, lane_sizes, total = self.enc(xp, self.ll, self.cb)
+        rows, sizes = compaction.materialize_rows_t(events, self.l2)
+        return rows, sizes, total
+
+    def _enc_body(self, p):
+        e = self._encode_full(self.xp ^ p)
+        return (jnp.sum(e[0].astype(U32), dtype=U32)
+                + jnp.sum(e[1], dtype=U32))
+
+    def _dec_full(self, rows):
+        from cpprcoder_tpu.ops import compaction
+
+        rows_w = compaction.rows_to_be_words(rows)
+        pad = self.kp - self.k_tot
+        rw = jnp.concatenate(
+            [rows_w, jnp.zeros((pad, self.l4), rows_w.dtype)]) \
+            if pad else rows_w
+        return self.dec(rw.T, self.ll, self.cb)
+
+    def _dec_body(self, p):
+        out = self._dec_full(self._enc_out[0] ^ p)
+        return jnp.sum(out, dtype=jnp.int32).astype(U32)
+
+    def warm(self):
+        probe = self.enc(self.xp, self.ll, self.cb)
+        max_sz = int(np.asarray(jax.device_get(probe[1])).max())
+        self.l4 = self._bucket(-(-max_sz // 4) + 1)
+        self.l2 = 4 * self.l4
+        self._enc_out = self._encode_full(self.xp)
+        self.dec = self._rcx_pallas._decode_call_multi(
+            self.steps, self.k_tot, self.kp, self.l4, self.inc, self.cl,
+            self.cbits, len(self.items))
+        self._dec_out = self._dec_full(self._enc_out[0])
+
+    def warm_timing(self):
+        from cpprcoder_tpu.bench.timing import make_loop
+
+        for body, rate in ((self._enc_body, ENC_RATE_EST),
+                           (self._dec_body, DEC_RATE_EST)):
+            for r in (1, det_reps(self.total, rate)):
+                int(make_loop(body, r)())
+
+    def run(self):
+        from cpprcoder_tpu.bench.timing import measure
+
+        self.enc_t = _retry_nan(
+            lambda: measure(self._enc_body, 1,
+                            det_reps(self.total, ENC_RATE_EST)))
+        self.dec_t = _retry_nan(
+            lambda: measure(self._dec_body, 1,
+                            det_reps(self.total, DEC_RATE_EST)))
+
+    def finalize(self):
+        sizes = np.asarray(jax.device_get(self._enc_out[1]))
+        out = np.asarray(jax.device_get(self._dec_out))  # [steps, kp]
+        rows = []
+        tag = f"batched({len(self.items)})"
+        for i, (name, data) in enumerate(self.items):
+            x = np.frombuffer(data, np.uint8)
+            n, k, st, o = len(x), self.ks[i], self.strides[i], self.offs[i]
+            cols = out[:, o:o + k].T.reshape(-1)  # [k*steps] lane-major
+            got = np.concatenate([
+                cols[j * self.steps: j * self.steps
+                     + min(st, max(0, n - j * st))] for j in range(k)])
+            ok = bool((got[:n].astype(np.uint8) == x).all())
+            comp = int(sizes[o:o + k].sum()) + 9 + 2 * k
+            share_t = self.enc_t * n / self.total
+            share_d = self.dec_t * n / self.total
+            rows.append({
+                "file": name, "codec": "rcx_pallas", "bytes": n, "k": k,
+                "cbits": self.cbits, "compressed": comp,
+                "ratio": comp / n,
+                "enc_MBps": n / share_t / 1e6,
+                "dec_MBps": n / share_d / 1e6,
+                "timing": [tag, tag], "roundtrip_ok": ok,
+            })
+        return rows

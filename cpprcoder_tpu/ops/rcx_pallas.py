@@ -155,14 +155,20 @@ def _lane_iota(k):
 
 # ------------------------------------------------------------------ encode
 
-def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
+def _encode_kernel(len_ref, base_ref, x_ref, ev_ref, fl_ref,
                    low_s, car_s, rng_s, cache_s, csz_s, C_s, prev_s,
                    *, k: int, kp: int, inc: int, climit: int, cbits: int,
-                   stride: int):
+                   btot: int):
+    """Generalized over per-lane byte limits (len_ref) and per-lane model
+    block offsets (base_ref): the solo path passes the chunked-stride
+    limits and zeros; the small-file BATCH path packs several files into
+    disjoint lane groups, each with its own model rows — every file's
+    lanes behave exactly as a solo encode (rows are independent in the
+    quantizer), so per-file containers are byte-identical."""
     from jax.experimental import pallas as pl
 
     pid = pl.program_id(0)
-    B = 1 << cbits
+    B = btot
 
     @pl.when(pid == 0)
     def _init():
@@ -174,7 +180,8 @@ def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
         C_s[:] = jnp.ones((B, 256), I32)
         prev_s[:] = jnp.zeros((1, kp), I32)
 
-    n = n_ref[0, 0]
+    lane_len = len_ref[:]                              # [1, Kp] i32
+    ctx_base = base_ref[:]                             # [1, Kp] i32
     st = (low_s[:], car_s[:], rng_s[:], cache_s[:], csz_s[:])
     C = C_s[:]
     prev = prev_s[:]
@@ -186,12 +193,9 @@ def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
     for j in range(SUB):
         C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
         j_abs = pid * SUB + j
-        # i32-exact: k*stride = padded input size < 2^31 (wrapper asserts)
-        active = ((j_abs < stride)
-                  & (lanes * stride + j_abs < n)
-                  & (lanes < k))
+        active = (j_abs < lane_len) & (lanes < k)
         syms = x_ref[j:j + 1, :]                       # [1, Kp] i32
-        ctx = (prev >> (8 - cbits)) if cbits else prev * 0
+        ctx = ctx_base + ((prev >> (8 - cbits)) if cbits else prev * 0)
         oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
         oh_ctx = oh_ctx_i32.astype(F32)
         oh_sym = (iota_256 == syms).astype(F32)
@@ -232,30 +236,20 @@ def _encode_kernel(n_ref, x_ref, ev_ref, fl_ref,
              jnp.zeros((SUB - 2, kp), U32)], axis=0)
 
 
-@lru_cache(maxsize=64)
-def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
-                 cbits: int, stride: int):
+def _encode_pallas_call(kern, steps: int, steps8: int, k: int, kp: int,
+                        btot: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, stride=stride)
-    steps8 = -(-steps // SUB) * SUB
-
-    @jax.jit
-    def run(x2d, n):
-        pad = steps8 - x2d.shape[0]
-        xp = jnp.concatenate(
-            [x2d, jnp.zeros((pad, x2d.shape[1]), x2d.dtype)]) if pad else x2d
-        if kp > k:
-            xp = jnp.concatenate(
-                [xp, jnp.zeros((steps8, kp - k), xp.dtype)], axis=1)
+    def call(xp, lane_len, ctx_base):
         evs, fl = pl.pallas_call(
             kern,
             grid=(steps8 // SUB,),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, kp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -275,16 +269,59 @@ def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
                 pltpu.VMEM((1, kp), U32),            # range
                 pltpu.VMEM((1, kp), U32),            # cache
                 pltpu.VMEM((1, kp), U32),            # cache_size
-                pltpu.VMEM((1 << cbits, 256), I32),  # C
+                pltpu.VMEM((btot, 256), I32),        # C (model rows)
                 pltpu.VMEM((1, kp), I32),            # prev symbol
             ],
             interpret=_INTERPRET,
-        )(jnp.asarray(n, I32).reshape(1, 1), xp.astype(I32))
+        )(lane_len, ctx_base, xp.astype(I32))
         from cpprcoder_tpu.ops import compaction
 
         events_t = jnp.concatenate([evs[: 2 * steps], fl[:2]])[:, :k]
         _, _, _, lane_sizes, total = compaction.payload_layout_t(events_t)
         return events_t, lane_sizes, total
+
+    return call
+
+
+@lru_cache(maxsize=64)
+def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
+                 cbits: int, stride: int):
+    kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits)
+    steps8 = -(-steps // SUB) * SUB
+    call = _encode_pallas_call(kern, steps, steps8, k, kp, 1 << cbits)
+
+    @jax.jit
+    def run(x2d, n):
+        pad = steps8 - x2d.shape[0]
+        xp = jnp.concatenate(
+            [x2d, jnp.zeros((pad, x2d.shape[1]), x2d.dtype)]) if pad else x2d
+        if kp > k:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((steps8, kp - k), xp.dtype)], axis=1)
+        lanes = jnp.arange(kp, dtype=I32)[None, :]
+        lane_len = jnp.clip(jnp.asarray(n, I32) - lanes * stride, 0, stride)
+        return call(xp, lane_len, jnp.zeros((1, kp), I32))
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _encode_call_multi(steps: int, k: int, kp: int, inc: int,
+                       climit_log2: int, cbits: int, nfiles: int):
+    """Batched small-file encode: nfiles disjoint lane groups share one
+    kernel dispatch; ctx_base selects each file's own model-row block, so
+    per-file output bytes equal the solo encode with that file's (k_i,
+    stride_i). Caller supplies lane_len/ctx_base [1, kp]."""
+    b = 1 << cbits
+    kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles)
+    steps8 = -(-steps // SUB) * SUB
+    call = _encode_pallas_call(kern, steps, steps8, k, kp, b * nfiles)
+
+    @jax.jit
+    def run(xp, lane_len, ctx_base):
+        return call(xp, lane_len, ctx_base)
 
     return run
 
@@ -315,15 +352,15 @@ def rcx_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
 
 # ------------------------------------------------------------------ decode
 
-def _decode_kernel(n_ref, rows_ref, out_ref,
+def _decode_kernel(len_ref, base_ref, rows_ref, out_ref,
                    rng_s, code_s, q0_s, q1_s, occ_s, widx_s, C_s, prev_s,
                    *, k: int, kp: int, l4: int, inc: int, climit: int,
-                   cbits: int, stride: int):
+                   cbits: int, btot: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     pid = pl.program_id(0)
-    B = 1 << cbits
+    B = btot
 
     @pl.when(pid == 0)
     def _init():
@@ -336,7 +373,8 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
         C_s[:] = jnp.ones((256, B), I32)
         prev_s[:] = jnp.zeros((1, kp), I32)
 
-    n = n_ref[0, 0]
+    lane_len = len_ref[:]
+    ctx_base = base_ref[:]
     rng = rng_s[:]
     code = code_s[:]
     q0 = q0_s[:]
@@ -365,10 +403,8 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
 
         CT, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables_t(CT, climit)
         j_abs = pid * SUB + j
-        active = ((j_abs < stride)
-                  & (lanes * stride + j_abs < n)
-                  & (lanes < k))
-        ctx = (prev >> (8 - cbits)) if cbits else prev * 0
+        active = (j_abs < lane_len) & (lanes < k)
+        ctx = ctx_base + ((prev >> (8 - cbits)) if cbits else prev * 0)
         oh_ctx_i32 = ((iota_b == ctx) & active).astype(I32)
         oh_ctx = oh_ctx_i32.astype(F32)
 
@@ -418,27 +454,20 @@ def _decode_kernel(n_ref, rows_ref, out_ref,
     widx_s[:] = widx
 
 
-@lru_cache(maxsize=64)
-def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
-                 climit_log2: int, cbits: int, stride: int):
+def _decode_pallas_call(kern, steps8: int, k: int, kp: int, l4: int,
+                        btot: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, stride=stride)
-    steps8 = -(-steps // SUB) * SUB
-
-    @jax.jit
-    def run(rows_wT, n):
-        if kp > k:
-            rows_wT = jnp.concatenate(
-                [rows_wT, jnp.zeros((l4, kp - k), rows_wT.dtype)], axis=1)
+    def call(rows_wT, lane_len, ctx_base):
         out = pl.pallas_call(
             kern,
             grid=(steps8 // SUB,),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((l4, kp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -452,13 +481,49 @@ def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
                 pltpu.VMEM((1, kp), U32),            # q1
                 pltpu.VMEM((1, kp), U32),            # occ
                 pltpu.VMEM((1, kp), I32),            # widx
-                pltpu.VMEM((256, 1 << cbits), I32),  # C (transposed)
+                pltpu.VMEM((256, btot), I32),        # C (transposed)
                 pltpu.VMEM((1, kp), I32),            # prev symbol
             ],
             interpret=_INTERPRET,
-        )(jnp.asarray(n, I32).reshape(1, 1),
-          jax.lax.bitcast_convert_type(rows_wT, I32))
+        )(lane_len, ctx_base, jax.lax.bitcast_convert_type(rows_wT, I32))
         return out[:, :k]
+
+    return call
+
+
+@lru_cache(maxsize=64)
+def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
+                 climit_log2: int, cbits: int, stride: int):
+    kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits)
+    steps8 = -(-steps // SUB) * SUB
+    call = _decode_pallas_call(kern, steps8, k, kp, l4, 1 << cbits)
+
+    @jax.jit
+    def run(rows_wT, n):
+        if kp > k:
+            rows_wT = jnp.concatenate(
+                [rows_wT, jnp.zeros((l4, kp - k), rows_wT.dtype)], axis=1)
+        lanes = jnp.arange(kp, dtype=I32)[None, :]
+        lane_len = jnp.clip(jnp.asarray(n, I32) - lanes * stride, 0, stride)
+        return call(rows_wT, lane_len, jnp.zeros((1, kp), I32))
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _decode_call_multi(steps: int, k: int, kp: int, l4: int, inc: int,
+                       climit_log2: int, cbits: int, nfiles: int):
+    """Batched small-file decode twin of _encode_call_multi."""
+    b = 1 << cbits
+    kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
+                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles)
+    steps8 = -(-steps // SUB) * SUB
+    call = _decode_pallas_call(kern, steps8, k, kp, l4, b * nfiles)
+
+    @jax.jit
+    def run(rows_wT, lane_len, ctx_base):
+        return call(rows_wT, lane_len, ctx_base)
 
     return run
 
