@@ -42,16 +42,35 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
 
     kp = max(k, rcq_pallas.MIN_LANES)
     if codec == "rcx":
-        from cpprcoder_tpu.ops import rcx_pallas
+        from cpprcoder_tpu.ops import compaction, rcx_pallas
 
         enc = rcx_pallas._encode_call(steps, k, kp, inc, cl, cbits, stride)
         dec = rcx_pallas._decode_call(steps, k, kp, l4, inc, cl, cbits,
                                       stride)
-        dec_call = lambda rows, n: dec(rows.T, n.astype(I32))
-    else:
-        enc = rcq_pallas._encode_call(steps, k, kp, inc, cl)
-        dec0 = rcq_pallas._decode_call(steps, k, kp, l4, inc, cl)
-        dec_call = lambda rows, n: dec0(rows.T, n)
+
+        @jax.jit
+        def run_batch(x3d, n):
+            """Device-resident pipeline: kernel -> merge-expansion rows ->
+            BE word rows -> decode kernel (the CT-SB interchange layout;
+            the flat container payload is host row-slicing)."""
+            eqs, totals = [], []
+            for b in range(batch):
+                events_t, lane_sizes, total = enc(x3d[b], n)
+                rows, sizes = compaction.materialize_rows_t(events_t,
+                                                            4 * l4)
+                out = dec(compaction.rows_to_be_words(rows).T,
+                          n.astype(I32))
+                dec_syms = out[: steps].reshape(-1)
+                src = x3d[b].reshape(-1)
+                eqs.append(jnp.sum((dec_syms == src).astype(I32),
+                                   dtype=I32))
+                totals.append(total)
+            return jnp.stack(eqs), jnp.stack(totals)
+
+        return run_batch
+
+    enc = rcq_pallas._encode_call(steps, k, kp, inc, cl)
+    dec0 = rcq_pallas._decode_call(steps, k, kp, l4, inc, cl)
     mat = range_ops._materialize_t_fn(steps * 2 + 2, k, cap)
     rows_fn = rcq_ops._rows_fn(k, l4, cap)
 
@@ -63,7 +82,7 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
             events_t, lane_sizes, total = enc(x3d[b], n)
             payload, sizes = mat(events_t)
             rows = rows_fn(payload, sizes.astype(I32))
-            out = dec_call(rows, n)
+            out = dec0(rows.T, n)
             dec_syms = out[: steps].reshape(-1)
             src = x3d[b].reshape(-1)
             eqs.append(jnp.sum((dec_syms == src).astype(I32), dtype=I32))
