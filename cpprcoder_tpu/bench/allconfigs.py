@@ -718,21 +718,23 @@ def all_jobs():
     (test/main.cpp:1274-1385); this is the repo equivalent."""
     from cpprcoder_tpu.bench import device
 
+    # ordered roughly by compile cost (cheap/cached first) so a bounded
+    # run still lands rows for the most codecs
     return [
-        ("static", lambda f, d: _DevJob(device.RCJob, f, d, "static")),
-        ("adaptive", lambda f, d: _DevJob(device.RCJob, f, d, "adaptive")),
-        ("rcq_pallas", lambda f, d: _DevJob(device.RCQJob, f, d, "pallas")),
         ("rcx_pallas", lambda f, d: _DevJob(device.RCXJob, f, d, "pallas")),
         ("rans_pallas", RANSPallasJob),
         ("huffman_pallas", HUFFPallasJob),
         ("rans", RANSJob),
         ("huffman", HUFFJob),
+        ("bwt_core", BWTJob),
+        ("slz4", SLZ4Job),
         ("ans2", ANS2Job),
         ("ase", ASEJob),
         ("o1", O1Job),
-        ("slz4", SLZ4Job),
-        ("bwt_core", BWTJob),
         ("pipeline", PipelineJob),
+        ("rcq_pallas", lambda f, d: _DevJob(device.RCQJob, f, d, "pallas")),
+        ("static", lambda f, d: _DevJob(device.RCJob, f, d, "static")),
+        ("adaptive", lambda f, d: _DevJob(device.RCJob, f, d, "adaptive")),
     ]
 
 
