@@ -93,3 +93,33 @@ def test_materialize_t_mask_above_capacity():
         events, out_cap, jnp.asarray(mask))
     assert (np.asarray(sw) == np.asarray(sg)).all()
     assert (np.asarray(want) == np.asarray(got)).all()
+
+
+def test_materialize_rows_t_matches_flat():
+    # padded per-lane rows, concatenated by true sizes, must equal the
+    # flat lane-major payload byte for byte (merge expansion vs two-sort)
+    import numpy as np
+
+    from cpprcoder_tpu.models.cxmodel import rcx_params
+    from cpprcoder_tpu.ops import rcx_ops
+    from cpprcoder_tpu.utils.shapes import bucket
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 200
+            + bytes(range(256)) * 8)
+    x = np.frombuffer(data, np.uint8)
+    n = len(x)
+    k, inc, cl, cbits = rcx_params(n)
+    stride = -(-n // k)
+    steps = bucket(stride)
+    x2d = jnp.asarray(rcx_ops._pad2d_chunked(x, steps, k, stride))
+    ev, ls, tot = rcx_ops._encode_fn(steps, k, inc, cl, cbits, stride)(
+        x2d, jnp.uint32(n))
+    ev_t = ev.T
+    cap = bucket(int(tot) + 8)
+    ref_payload, ref_sizes = compaction.materialize_t(ev_t, cap)
+    l2 = bucket(int(np.asarray(ref_sizes).max()) + 1)
+    rows, sizes = compaction.materialize_rows_t(ev_t, l2)
+    assert (np.asarray(ref_sizes) == np.asarray(sizes)).all()
+    rn, sz = np.asarray(rows), np.asarray(sizes)
+    flat = np.concatenate([rn[i, : sz[i]] for i in range(k)])
+    assert (flat == np.asarray(ref_payload)[: int(tot)]).all()
