@@ -20,7 +20,11 @@ from cpprcoder_tpu.reference import rcx_ref
 
 def encode(data, backend: str | None = None, lanes: int | None = None,
            inc: int | None = None, climit_log2: int | None = None,
-           cbits: int | None = None) -> bytes:
+           cbits: int | None = None, mode: str = "balanced") -> bytes:
+    if mode != "balanced" and lanes is None and cbits is None:
+        from cpprcoder_tpu.models.cxmodel import rcx_params
+
+        lanes, _, _, cbits = rcx_params(len(data), mode=mode)
     if backend == "pallas":
         from cpprcoder_tpu.ops import rcx_pallas
 

@@ -44,14 +44,24 @@ N_SMALL, N_MID = 1 << 16, 1 << 18
 
 
 def rcx_params(n: int, lanes: int | None = None, inc: int | None = None,
-               cbits: int | None = None) -> tuple[int, int, int, int]:
-    """(k, inc, climit_log2, cbits) for an n-byte input."""
+               cbits: int | None = None,
+               mode: str = "balanced") -> tuple[int, int, int, int]:
+    """(k, inc, climit_log2, cbits) for an n-byte input.
+
+    mode "balanced" (default) is throughput-optimal; mode "ratio" applies
+    the round-4 autotune result (full-corpus sweep: cbits=6 with half the
+    lanes beats the balanced ratio on EVERY Canterbury file — weighted
+    0.392 vs 0.422 — at ~2-3x the wall time; e.g. kennedy 0.4042 vs
+    0.4357, plrabn12 0.4766 vs 0.5168, ptt5 0.1236 vs 0.1336)."""
     from cpprcoder_tpu.models.qmodel import rcq_params
 
     k, _, cl = rcq_params(n, lanes)
+    if mode == "ratio" and lanes is None:
+        k = max(8, k // 2)
     if cbits is None:
-        cbits = (CBITS_SMALL if n <= N_SMALL
-                 else CBITS_MID if n <= N_MID else CBITS_BIG)
+        cbits = 6 if mode == "ratio" else (
+            CBITS_SMALL if n <= N_SMALL
+            else CBITS_MID if n <= N_MID else CBITS_BIG)
     if inc is None:
         inc = min(32 if n <= N_SMALL else 16, max(1, MAX_K_TIMES_INC // k))
     assert k * inc <= MAX_K_TIMES_INC and 0 <= cbits <= 8
