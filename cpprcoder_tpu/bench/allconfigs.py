@@ -39,7 +39,9 @@ def _auto_measure(body):
         one = make_loop(body, 1)
         int(one())
         est = max(_min_wall(one, 2) - OVERHEAD_EST, 3e-4)
-        hi = quantize_reps(max(4, min(32, int(0.04 / est) + 1)))
+        # unroll cap 8: sort/scan-heavy bodies (bwt, pipeline, o1, ase)
+        # produce multi-minute XLA compiles at 32 unrolled reps
+        hi = quantize_reps(max(4, min(8, int(0.04 / est) + 1)))
         return measure(body, 1, hi, repeats=5)
 
     return _retry_nan(once)
