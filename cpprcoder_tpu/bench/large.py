@@ -60,9 +60,17 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
                                                             4 * l4)
                 out = dec(compaction.rows_to_be_words(rows).T,
                           n.astype(I32))
-                dec_syms = out[: steps].reshape(-1)
-                src = x3d[b].reshape(-1)
-                eqs.append(jnp.sum((dec_syms == src).astype(I32),
+                # the decode kernel emits garbage (s=255) in INACTIVE cells
+                # (zeroed context column -> saturated counting compare)
+                # while pad cells are 0 — compare only active cells, like
+                # bench.device.RCXJob.finalize (count inactive as equal so
+                # eq == steps*k still signals success)
+                jrow = jax.lax.broadcasted_iota(I32, (steps, k), 0)
+                lane = jax.lax.broadcasted_iota(I32, (steps, k), 1)
+                act = (jrow < stride) & (lane * stride + jrow
+                                         < n.astype(I32))
+                eq_cell = out[: steps] == x3d[b][: steps].astype(I32)
+                eqs.append(jnp.sum(jnp.where(act, eq_cell, True),
                                    dtype=I32))
                 totals.append(total)
             return jnp.stack(eqs), jnp.stack(totals)

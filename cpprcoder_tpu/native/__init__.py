@@ -172,6 +172,9 @@ def slz4_encode(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
     x = np.frombuffer(bytes(data), np.uint8) \
         if not isinstance(data, np.ndarray) else data
     n = len(x)
+    if n > 0xFFFFFFFF:
+        raise ValueError(
+            f"slz4 container rawSize is u32; input is {n} bytes")
     s = 1 << seg_log2
     n_segs = -(-n // s) if n else 0
     cap = n + n // 128 + 16 * max(n_segs, 1) + 4096
@@ -183,11 +186,16 @@ def slz4_encode(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
 
 
 def slz4_decode(blob) -> bytes:
+    from cpprcoder_tpu.core.bytesutil import CorruptContainerError
+
     lib = load()
     b = np.frombuffer(bytes(blob), np.uint8)
+    if len(b) < 4:
+        raise CorruptContainerError("slz4 container shorter than header")
     n = int.from_bytes(bytes(blob[:4]), "little")
     out = np.empty(max(n, 1), np.uint8)
     sz = lib.ct_slz4_decode(_ptr(b), len(b), _ptr(out), n)
     if sz < 0:
-        raise RuntimeError("ct_slz4_decode failed")
+        # typed like every other decode path (tests/test_malformed.py)
+        raise CorruptContainerError("native slz4 decode rejected container")
     return out[:sz].tobytes()

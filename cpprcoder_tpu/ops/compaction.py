@@ -242,14 +242,25 @@ def lane_layout(events):
 # re-orders anyway) — only the pstart VALUES must reflect the lane-major
 # payload layout, which the column-wise cumsums below compute.
 
+CUMSUM_MXU_MAX_E = 4096
+
+
 def _cumsum_rows_mxu(cnt):
     """Inclusive per-COLUMN cumsum of cnt [E, K] as one triangular MXU dot.
 
     jnp.cumsum(axis=0) over [E≈1000, K≈2000] lowers to a slow major-axis
     scan on TPU; tri @ cnt is one [E,E]@[E,K] matmul. Exact: cnt and all
     partial sums stay < 2^24 (pstart capacity is 2^22), f32-representable;
-    HIGHEST precision keeps the MXU from truncating inputs to bf16."""
+    HIGHEST precision keeps the MXU from truncating inputs to bf16.
+
+    The [E,E] triangle is O(E^2) memory — above CUMSUM_MXU_MAX_E (16 M
+    entries = 64 MB f32) the dot would dominate or OOM (single-shot
+    encodes of tens of MB reach E~2^16), so fall back to jnp.cumsum: slower
+    per element but O(E*K), and such shapes are far off the hot bench path
+    (superblock framing keeps production E in the hundreds)."""
     E = cnt.shape[0]
+    if E > CUMSUM_MXU_MAX_E:
+        return jnp.cumsum(cnt.astype(I32), axis=0)
     tri = (jax.lax.broadcasted_iota(I32, (E, E), 0)
            >= jax.lax.broadcasted_iota(I32, (E, E), 1)).astype(jnp.float32)
     out = jax.lax.dot_general(tri, cnt.astype(jnp.float32),

@@ -110,11 +110,12 @@ def test_native_slz4_identity_and_roundtrip():
 def test_native_slz4_rejects_corrupt():
     if not native.available():
         pytest.skip("no g++/native lib")
+    from cpprcoder_tpu.core.bytesutil import CorruptContainerError
     from cpprcoder_tpu.reference import slz4_ref
 
     blob = bytearray(slz4_ref.slz4_encode(b"hello world " * 40, seg_log2=12))
-    with pytest.raises(RuntimeError):
+    with pytest.raises(CorruptContainerError):
         native.slz4_decode(bytes(blob[: len(blob) // 2]))  # truncated
     bad = bytes(blob[:4]) + b"\x30" + bytes(blob[5:])      # seg_log2 > 24
-    with pytest.raises(RuntimeError):
+    with pytest.raises(CorruptContainerError):
         native.slz4_decode(bad)

@@ -24,6 +24,11 @@ def test_oracle_roundtrip():
 
 
 def test_jax_container_identity():
+    # NOTE: the JAX parse selects match candidates via two 32-bit hash
+    # chains (ops/lz_ops.py); identity to the oracle's exact-key parse is
+    # probabilistic (~2^-64 per compare). A mismatch here on new data is
+    # EXPECTED behavior (a hash collision changing one match choice), not a
+    # format regression — the container stays valid LZ4 either way.
     for data in _cases():
         for sl in (12,):
             ref = slz4_ref.slz4_encode(data, seg_log2=sl)
