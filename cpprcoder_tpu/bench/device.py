@@ -196,14 +196,14 @@ class RCXJob:
 
     def _encode_full(self, x2d):
         """pallas: events -> padded per-lane byte rows (merge expansion,
-        ops/compaction.materialize_rows_t) — the device-resident
+        ops/compaction.materialize_rows, Pallas VMEM kernel) — the device-resident
         interchange the decode kernel reads directly. jax backend keeps
         the flat lane-major payload."""
         events, lane_sizes, total = self.enc(x2d, self.nn)
         if self.backend == "pallas" and getattr(self, "l2", None):
             from cpprcoder_tpu.ops import compaction
 
-            rows, sizes = compaction.materialize_rows_t(events, self.l2)
+            rows, sizes = compaction.materialize_rows(events, self.l2)
             return rows, sizes, total
         payload, sizes = self.mat(events)
         return payload, sizes, total
@@ -495,7 +495,7 @@ class SmallBatchRCXJob:
         from cpprcoder_tpu.ops import compaction
 
         events, lane_sizes, total = self.enc(xp, self.ll, self.cb)
-        rows, sizes = compaction.materialize_rows_t(events, self.l2)
+        rows, sizes = compaction.materialize_rows(events, self.l2)
         return rows, sizes, total
 
     def _enc_body(self, p):

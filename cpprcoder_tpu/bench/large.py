@@ -56,7 +56,7 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
             eqs, totals = [], []
             for b in range(batch):
                 events_t, lane_sizes, total = enc(x3d[b], n)
-                rows, sizes = compaction.materialize_rows_t(events_t,
+                rows, sizes = compaction.materialize_rows(events_t,
                                                             4 * l4)
                 out = dec(compaction.rows_to_be_words(rows).T,
                           n.astype(I32))

@@ -382,6 +382,18 @@ def _expand_rows(first_T, run_T, pcnt_T, pin_T, dropped_T, lane_sizes,
     return back[:, R2 - l2:][:, ::-1].astype(jnp.uint8)
 
 
+def materialize_rows(events_t, l2: int, may_drop=True):
+    """Auto-dispatching rows materializer: the Pallas VMEM merge-expansion
+    kernel (ops/expand_pallas.py — ~9x the XLA path on chip, round 5) when
+    the platform and shapes allow, else the XLA path below. Same contract
+    as materialize_rows_t."""
+    from cpprcoder_tpu.ops import expand_pallas
+
+    if expand_pallas.usable(events_t.shape[0], l2):
+        return expand_pallas.materialize_rows_pallas(events_t, l2, may_drop)
+    return materialize_rows_t(events_t, l2, may_drop)
+
+
 def materialize_rows_t(events_t, l2: int, may_drop=True):
     """Padded per-lane payload rows for time-major [E, K] event grids.
 

@@ -164,14 +164,29 @@ def _encode_container(x, k, phase1, header_fn, time_major: bool = False,
         total = int(total)
     out_cap = bucket(total)
     with profiling.phase("enc.materialize", total):
+        sizes = None
         if time_major:
-            payload, lane_sizes = _materialize_t_fn(
-                events.shape[0], k, out_cap)(events)
+            from cpprcoder_tpu.ops import expand_pallas
+
+            sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
+            max_sz = int(sizes.max()) if sizes.size else 0
+            l2 = 4 * bucket(-(-max_sz // 4) + 1)
+            if expand_pallas.usable(events.shape[0], l2):
+                rows, _ = compaction.materialize_rows(events, l2)
+                rows_np = np.asarray(jax.device_get(rows))
+                payload_np = (np.concatenate(
+                    [rows_np[i, : sizes[i]] for i in range(len(sizes))])
+                    if sizes.size else np.zeros(0, np.uint8))
+            else:
+                payload, lane_sizes = _materialize_t_fn(
+                    events.shape[0], k, out_cap)(events)
+                payload_np = np.asarray(jax.device_get(payload))[:total]
         else:
             payload, lane_sizes = _materialize_fn(
                 k, events.shape[1], out_cap)(events)
-        sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
-        payload_np = np.asarray(jax.device_get(payload))[:total]
+        if sizes is None:
+            sizes = np.asarray(jax.device_get(lane_sizes), dtype=np.int64)
+            payload_np = np.asarray(jax.device_get(payload))[:total]
     with profiling.phase("enc.assemble", total):
         wide = bool(sizes.max() >= 1 << 16) if len(sizes) else False
         w = header_fn(wide, *[np.asarray(jax.device_get(e)) for e in extra])
