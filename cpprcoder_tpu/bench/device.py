@@ -162,8 +162,9 @@ class RCXJob:
 
     def __init__(self, name: str, data: bytes, backend: str = "pallas",
                  lanes: int | None = None, inc: int | None = None,
-                 climit_log2: int | None = None, cbits: int | None = None):
-        from cpprcoder_tpu.models.cxmodel import rcx_params
+                 climit_log2: int | None = None, cbits: int | None = None,
+                 wlog: int | None = None):
+        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT, rcx_params
         from cpprcoder_tpu.ops import range_ops, rcx_ops, rcx_pallas
         from cpprcoder_tpu.utils.shapes import bucket
 
@@ -171,7 +172,9 @@ class RCXJob:
         x = np.frombuffer(data, np.uint8)
         self.n = n = len(x)
         k, inc, cl, cbits = rcx_params(n, lanes, inc, cbits)
+        wlog = WLOG_DEFAULT if wlog is None else wlog
         self.k, self.inc, self.cl, self.cbits = k, inc, cl, cbits
+        self.wlog = wlog
         self.kp = max(k, rcx_pallas.MIN_LANES)
         self.stride = stride = -(-n // k)
         self.steps = steps = bucket(stride)
@@ -179,9 +182,10 @@ class RCXJob:
         self.nn = U32(n)
         if backend == "pallas":
             self.enc = rcx_pallas._encode_call(steps, k, self.kp, inc, cl,
-                                               cbits, stride)
+                                               cbits, stride, wlog)
         else:
-            self.enc = rcx_ops._encode_fn(steps, k, inc, cl, cbits, stride)
+            self.enc = rcx_ops._encode_fn(steps, k, inc, cl, cbits, stride,
+                                          wlog)
         total0 = int(self.enc(self.x2d, self.nn)[2])
         self.cap = cap = bucket(total0 + 8)
         if backend == "pallas":
@@ -191,7 +195,7 @@ class RCXJob:
         self._rcx_ops = rcx_ops
         self._rcx_pallas = rcx_pallas
         self._bucket = bucket
-        self.hdr = 9 + 2 * k
+        self.hdr = 10 + 2 * k
         self.enc_t = self.dec_t = None
 
     def _encode_full(self, x2d):
@@ -241,11 +245,11 @@ class RCXJob:
         if self.backend == "pallas":
             self.dec = self._rcx_pallas._decode_call(
                 self.steps, self.k, self.kp, self.l4, self.inc, self.cl,
-                self.cbits, self.stride)
+                self.cbits, self.stride, self.wlog)
         else:
             self.dec = self._rcx_ops._decode_fn(
                 self.steps, self.k, self.inc, self.cl, self.cbits,
-                self.stride, self.l4)
+                self.stride, self.l4, self.wlog)
         self._dec_out = self._dec_full(payload, sizes)
 
     def warm_timing(self):
@@ -451,10 +455,13 @@ class SmallBatchRCXJob:
         from cpprcoder_tpu.utils.shapes import bucket
 
         self.items = items                      # [(name, data)]
+        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+
         ns = [len(d) for _, d in items]
         self.total = sum(ns)
         n_max = max(ns)
         _, self.inc, self.cl, self.cbits = rcx_params(n_max)
+        self.wlog = WLOG_DEFAULT
         s_target = -(-n_max // 128)
         self.ks, self.strides, self.offs = [], [], []
         off = 0
@@ -487,7 +494,7 @@ class SmallBatchRCXJob:
         self.cb = jnp.asarray(cb)
         self.enc = rcx_pallas._encode_call_multi(
             steps, self.k_tot, self.kp, self.inc, self.cl, self.cbits,
-            len(items))
+            len(items), self.wlog)
         self._rcx_pallas = rcx_pallas
         self._bucket = bucket
 
@@ -525,7 +532,7 @@ class SmallBatchRCXJob:
         self._enc_out = self._encode_full(self.xp)
         self.dec = self._rcx_pallas._decode_call_multi(
             self.steps, self.k_tot, self.kp, self.l4, self.inc, self.cl,
-            self.cbits, len(self.items))
+            self.cbits, len(self.items), self.wlog)
         self._dec_out = self._dec_full(self._enc_out[0])
 
     def warm_timing(self):
@@ -559,7 +566,7 @@ class SmallBatchRCXJob:
                 cols[j * self.steps: j * self.steps
                      + min(st, max(0, n - j * st))] for j in range(k)])
             ok = bool((got[:n].astype(np.uint8) == x).all())
-            comp = int(sizes[o:o + k].sum()) + 9 + 2 * k
+            comp = int(sizes[o:o + k].sum()) + 10 + 2 * k
             share_t = self.enc_t * n / self.total
             share_d = self.dec_t * n / self.total
             rows.append({

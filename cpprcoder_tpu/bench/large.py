@@ -37,16 +37,17 @@ I32 = jnp.int32
 @lru_cache(maxsize=4)
 def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
                batch: int, codec: str = "rcq", cbits: int = 0,
-               stride: int = 0):
+               stride: int = 0, wlog: int = 0):
     from cpprcoder_tpu.ops import range_ops, rcq_ops, rcq_pallas
 
     kp = max(k, rcq_pallas.MIN_LANES)
     if codec == "rcx":
         from cpprcoder_tpu.ops import compaction, rcx_pallas
 
-        enc = rcx_pallas._encode_call(steps, k, kp, inc, cl, cbits, stride)
+        enc = rcx_pallas._encode_call(steps, k, kp, inc, cl, cbits,
+                                      stride, wlog)
         dec = rcx_pallas._decode_call(steps, k, kp, l4, inc, cl, cbits,
-                                      stride)
+                                      stride, wlog)
 
         @jax.jit
         def run_batch(x3d, n):
@@ -112,17 +113,21 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
     if codec == "rcx":
         from cpprcoder_tpu.models.cxmodel import rcx_params
 
+        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+
         k, inc, cl, cbits = rcx_params(superblock, lanes)
+        wlog = WLOG_DEFAULT
         stride = -(-superblock // k)
-        hdr = 9 + 2 * k
+        hdr = 10 + 2 * k
     else:
         k, inc, cl = rcq_params(superblock, lanes)
-        cbits, stride = 0, 0
+        cbits, stride, wlog = 0, 0, 0
         hdr = 8 + 2 * k
     steps = bucket(-(-superblock // k))
     cap = bucket(superblock + (superblock >> 4) + 16 * k + 1024)
     l4 = bucket((2 * steps + 8) // 4 + 2)
-    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch, codec, cbits, stride)
+    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch, codec, cbits,
+                    stride, wlog)
     nn = U32(superblock)
 
     # pad the stream to whole batches

@@ -20,22 +20,25 @@ from cpprcoder_tpu.reference import rcx_ref
 
 def encode(data, backend: str | None = None, lanes: int | None = None,
            inc: int | None = None, climit_log2: int | None = None,
-           cbits: int | None = None, mode: str = "balanced") -> bytes:
+           cbits: int | None = None, mode: str = "balanced",
+           wlog: int | None = None) -> bytes:
     if mode != "balanced" and lanes is None and cbits is None:
         from cpprcoder_tpu.models.cxmodel import rcx_params
 
         lanes, _, _, cbits = rcx_params(len(data), mode=mode)
+        if wlog is None:
+            wlog = 0          # ratio preset: per-step requant (best ratio)
     if backend == "pallas":
         from cpprcoder_tpu.ops import rcx_pallas
 
         return rcx_pallas.rcx_encode_pallas(
             data, lanes=lanes, inc=inc, climit_log2=climit_log2,
-            cbits=cbits)
+            cbits=cbits, wlog=wlog)
     from cpprcoder_tpu.ops import rcx_ops
 
     fn = pick_backend(backend, rcx_ops.rcx_encode_jax, rcx_ref.rcx_encode)
     return fn(data, lanes=lanes, inc=inc, climit_log2=climit_log2,
-              cbits=cbits)
+              cbits=cbits, wlog=wlog)
 
 
 def decode(blob, backend: str | None = None) -> bytes:

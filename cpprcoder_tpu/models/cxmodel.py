@@ -35,6 +35,26 @@ from cpprcoder_tpu.models.qmodel import (  # noqa: F401  (shared constants)
     QTOTAL,
 )
 
+# CT-RCX v2 (round 5): requantization happens once per WINDOW of
+# W = 2^wlog steps (wlog a header byte, 0..3), not per step — the dominant
+# per-step kernel cost (rescale + 15-round division + cumsum) amortizes
+# over W steps (~1.9x kernel at W=4). Counts still update every step; the
+# coder uses the tables frozen at the window start. Ratio cost measured
+# (numpy sim, Canterbury): W=2 <= 0.9% relative, W=4 <= 2.7% (ptt5 worst),
+# still below the reference adaptive coder on every file. wlog=0
+# reproduces the per-step schedule bit-for-bit.
+#
+# Rescale at a window boundary uses up to THREE conditional halvings:
+# between requants a row can grow by W*K*inc <= 8*49152 on top of
+# climit-1 (= 458,749 max), and halving maps tot -> <= tot/2 + 256, so
+# three rounds always land below climit (2^16). For wlog=0 the extra
+# rounds are provably no-ops (tot < 2*climit pre-halving), so the SAME
+# rescale is used for every wlog — and post-rescale tot < climit keeps
+# the quantizer's u32 exactness bound (max C * (QTOTAL-QRESERVE) <
+# 2^16 * 2^15 = 2^31) unchanged.
+WLOG_DEFAULT = 2
+RESCALE_ROUNDS = 3
+
 # context-width policy (bench/rcx_sim.py sweep, 2026-08): wider contexts
 # always compress better but cost O(2^CBITS * 256) MACs per symbol in the
 # one-hot/MXU kernel algebra; these cutoffs keep every file comfortably
@@ -76,9 +96,11 @@ def ctx_of(prev: np.ndarray, cbits: int):
 # ------------------------------------------------------------------ numpy
 
 def rescale_rows_np(C: np.ndarray, climit: int) -> np.ndarray:
-    tot = C.sum(axis=1, dtype=np.uint32)
-    hot = tot >= climit
-    if hot.any():
+    for _ in range(RESCALE_ROUNDS):
+        tot = C.sum(axis=1, dtype=np.uint32)
+        hot = tot >= climit
+        if not hot.any():
+            break
         C = C.copy()
         C[hot] = (C[hot] >> 1) | 1
     return C
@@ -107,8 +129,10 @@ def update_rows_np(C: np.ndarray, ctx: np.ndarray, syms: np.ndarray,
 def rescale_rows_jnp(C, climit: int):
     import jax.numpy as jnp
 
-    tot = jnp.sum(C, axis=1, keepdims=True, dtype=jnp.uint32)
-    return jnp.where(tot >= jnp.uint32(climit), (C >> 1) | 1, C)
+    for _ in range(RESCALE_ROUNDS):
+        tot = jnp.sum(C, axis=1, keepdims=True, dtype=jnp.uint32)
+        C = jnp.where(tot >= jnp.uint32(climit), (C >> 1) | 1, C)
+    return C
 
 
 def quantize_rows_jnp(C):

@@ -56,7 +56,8 @@ def load():
             ("ct_rcq_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
             ("ct_rcx_encode", [u8p, ctypes.c_int64, ctypes.c_uint32,
                                ctypes.c_uint32, ctypes.c_uint32,
-                               ctypes.c_uint32, u8p, ctypes.c_int64]),
+                               ctypes.c_uint32, ctypes.c_uint32,
+                               u8p, ctypes.c_int64]),
             ("ct_rcx_decode", [u8p, ctypes.c_int64, u8p, ctypes.c_int64]),
             ("ct_slz4_encode", [u8p, ctypes.c_int64, ctypes.c_uint32,
                                 ctypes.c_uint32, u8p, ctypes.c_int64]),
@@ -143,14 +144,18 @@ def rcq_decode(blob) -> bytes:
 
 
 def rcx_encode(data, lanes: int, inc: int, climit_log2: int,
-               cbits: int) -> bytes:
+               cbits: int, wlog: int | None = None) -> bytes:
+    from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+
+    if wlog is None:
+        wlog = WLOG_DEFAULT
     lib = load()
     x = np.frombuffer(bytes(data), np.uint8) \
         if not isinstance(data, np.ndarray) else data
     cap = 2 * len(x) + 16 * lanes + 4096
     out = np.empty(cap, np.uint8)
     sz = lib.ct_rcx_encode(_ptr(x), len(x), lanes, inc, climit_log2, cbits,
-                           _ptr(out), cap)
+                           wlog, _ptr(out), cap)
     if sz < 0:
         raise RuntimeError("ct_rcx_encode failed")
     return out[:sz].tobytes()

@@ -61,40 +61,57 @@ def _pad2d_chunked(x: np.ndarray, steps: int, k: int,
 
 @lru_cache(maxsize=64)
 def _encode_fn(steps: int, k: int, inc: int, climit_log2: int, cbits: int,
-               stride: int):
+               stride: int, wlog: int = 0):
+    """v2 window schedule (wlog > 0): the scan runs over WINDOW chunks of
+    W = 2^wlog steps; the model requantizes once per chunk (up to 3
+    conditional halvings + quantize, models/cxmodel.py) and the W steps
+    inside code against the frozen tables while counts keep updating.
+    wlog=0 is bit-identical to the round-4 per-step schedule."""
     climit = 1 << climit_log2
+    W = 1 << wlog
+    steps_w = -(-steps // W) * W
 
     @jax.jit
     def run(x2d, n):
         st = rc_common.make_state(k)
         lane_ids = jnp.arange(k, dtype=U32)
         C0 = jnp.ones((1 << cbits, 256), U32)
+        pad = steps_w - x2d.shape[0]
+        xp = jnp.concatenate(
+            [x2d, jnp.zeros((pad, k), x2d.dtype)]) if pad else x2d
+        xw = xp.reshape(steps_w // W, W, k)
 
-        def step(carry, xt):
+        def window(carry, xchunk):
             st, t_idx, C, prev = carry
             C = rescale_rows_jnp(C, climit)
             q = quantize_rows_jnp(C)
             cums_excl = jnp.cumsum(q, axis=1, dtype=U32) - q
-            syms = xt.astype(I32)
-            ctx = (prev >> (8 - cbits)).astype(I32) if cbits \
-                else jnp.zeros(k, I32)
-            active = (t_idx < stride) & (lane_ids * stride + t_idx < n)
-            c = cums_excl[ctx, syms]
-            f = q[ctx, syms]
-            t = st[2] >> QBITS
-            is_top = (c + f) == U32(QTOTAL)
-            st, evs = rc_common.encode_symbol(st, t, c, f, is_top, active,
-                                              N_SLOTS)
-            upd = jnp.zeros_like(C).at[ctx, syms].add(
-                jnp.where(active, U32(inc), U32(0)))
-            prev = jnp.where(active, xt, prev)
-            return (st, t_idx + 1, C + upd, prev), evs
+            evs_w = []
+            for w in range(W):
+                xt = xchunk[w]
+                syms = xt.astype(I32)
+                ctx = (prev >> (8 - cbits)).astype(I32) if cbits \
+                    else jnp.zeros(k, I32)
+                active = (t_idx < stride) & (lane_ids * stride + t_idx < n)
+                c = cums_excl[ctx, syms]
+                f = q[ctx, syms]
+                t = st[2] >> QBITS
+                is_top = (c + f) == U32(QTOTAL)
+                st, evs = rc_common.encode_symbol(st, t, c, f, is_top,
+                                                  active, N_SLOTS)
+                C = C + jnp.zeros_like(C).at[ctx, syms].add(
+                    jnp.where(active, U32(inc), U32(0)))
+                prev = jnp.where(active, xt, prev)
+                t_idx = t_idx + 1
+                evs_w.append(evs)
+            return (st, t_idx, C, prev), jnp.stack(evs_w)
 
         (st, _, _, _), evs = lax.scan(
-            step, (st, U32(0), C0, jnp.zeros(k, jnp.uint8)), x2d)
+            window, (st, U32(0), C0, jnp.zeros(k, jnp.uint8)), xw)
+        # evs [nw, W, N_SLOTS, k] -> lane-major [k, 2*steps_w], trimmed
         flush_evs = rc_common.flush(st)
         events = jnp.concatenate(
-            [jnp.transpose(evs, (2, 0, 1)).reshape(k, -1),
+            [jnp.transpose(evs, (3, 0, 1, 2)).reshape(k, -1)[:, :2 * steps],
              jnp.transpose(flush_evs, (1, 0))], axis=1)
         from cpprcoder_tpu.ops import compaction
 
@@ -106,21 +123,26 @@ def _encode_fn(steps: int, k: int, inc: int, climit_log2: int, cbits: int,
 
 def rcx_encode_jax(data, lanes: int | None = None, inc: int | None = None,
                    climit_log2: int | None = None,
-                   cbits: int | None = None) -> bytes:
+                   cbits: int | None = None,
+                   wlog: int | None = None) -> bytes:
+    from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+
     x = as_u8(data)
     n = len(x)
     k, inc, climit_log2, cbits = rcx_params(n, lanes, inc, cbits)
+    wlog = WLOG_DEFAULT if wlog is None else wlog
     if n == 0:
         return (ByteWriter().u32(0).u8(_lane_desc(k, False))
-                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).getvalue())
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).u8(wlog)
+                .getvalue())
     stride = -(-n // k)
     steps = bucket(stride)
-    fn = _encode_fn(steps, k, inc, climit_log2, cbits, stride)
+    fn = _encode_fn(steps, k, inc, climit_log2, cbits, stride, wlog)
     phase1 = lambda x2d: fn(x2d, U32(n))
 
     def header(wide):
         return (ByteWriter().u32(n).u8(_lane_desc(k, wide))
-                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits))
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).u8(wlog))
 
     pad = lambda x, steps, k: _pad2d_chunked(x, steps, k, stride)
     return _encode_container(x, k, phase1, header, pad2d=pad)
@@ -130,8 +152,10 @@ def rcx_encode_jax(data, lanes: int | None = None, inc: int | None = None,
 
 @lru_cache(maxsize=64)
 def _decode_fn(steps: int, k: int, inc: int, climit_log2: int, cbits: int,
-               stride: int, l4: int):
+               stride: int, l4: int, wlog: int = 0):
     climit = 1 << climit_log2
+    W = 1 << wlog
+    steps_w = -(-steps // W) * W
 
     @jax.jit
     def run(rows_w, n):
@@ -144,50 +168,55 @@ def _decode_fn(steps: int, k: int, inc: int, climit_log2: int, cbits: int,
         lane_ids = jnp.arange(k, dtype=U32)
         C0 = jnp.ones((1 << cbits, 256), U32)
 
-        def step(carry, _):
+        def window(carry, _):
             rng, code, q0, q1, occ, widx, t_idx, C, prev = carry
-            need = occ < U32(N_SLOTS)
-            word = _row_select(rows_w, jnp.where(need, widx, I32(-1)))
-            q0 = q0 | jnp.where(occ == 0, word, word >> 8)
-            q1 = q1 | jnp.where(occ == 0, U32(0), word << 24)
-            occ = jnp.where(need, occ + 4, occ)
-            widx = widx + need.astype(I32)
-
             C = rescale_rows_jnp(C, climit)
             q = quantize_rows_jnp(C)
             cums_excl = jnp.cumsum(q, axis=1, dtype=U32) - q
-            ctx = (prev >> (8 - cbits)).astype(I32) if cbits \
-                else jnp.zeros(k, I32)
-            active = (t_idx < stride) & (lane_ids * stride + t_idx < n)
-            row_c = cums_excl[ctx]                     # [K, 256]
-            row_q = q[ctx]
-            t = rng >> QBITS
-            le = row_c * t[:, None] <= code[:, None]
-            s = jnp.sum(le, axis=1).astype(I32) - 1
-            c = jnp.take_along_axis(row_c, s[:, None], axis=1)[:, 0]
-            f = jnp.take_along_axis(row_q, s[:, None], axis=1)[:, 0]
-            code = code - c * t
-            rng = jnp.where((c + f) == U32(QTOTAL), rng - c * t, f * t)
-            for _ in range(N_SLOTS):
-                do = rng < U32(rc_common.RC_TOP)
-                b = q0 >> 24
-                q0 = jnp.where(do, (q0 << 8) | (q1 >> 24), q0)
-                q1 = jnp.where(do, q1 << 8, q1)
-                occ = occ - do.astype(U32)
-                code = jnp.where(do, (code << 8) | b, code)
-                rng = jnp.where(do, rng << 8, rng)
-            C = C + jnp.zeros_like(C).at[ctx, s].add(
-                jnp.where(active, U32(inc), U32(0)))
-            prev = jnp.where(active, s.astype(jnp.uint8), prev)
-            return (rng, code, q0, q1, occ, widx, t_idx + 1, C, prev), \
-                s.astype(jnp.uint8)
+            outs = []
+            for _w in range(W):
+                need = occ < U32(N_SLOTS)
+                word = _row_select(rows_w, jnp.where(need, widx, I32(-1)))
+                q0 = q0 | jnp.where(occ == 0, word, word >> 8)
+                q1 = q1 | jnp.where(occ == 0, U32(0), word << 24)
+                occ = jnp.where(need, occ + 4, occ)
+                widx = widx + need.astype(I32)
+
+                ctx = (prev >> (8 - cbits)).astype(I32) if cbits \
+                    else jnp.zeros(k, I32)
+                active = (t_idx < stride) & (lane_ids * stride + t_idx < n)
+                row_c = cums_excl[ctx]                 # [K, 256]
+                row_q = q[ctx]
+                t = rng >> QBITS
+                le = row_c * t[:, None] <= code[:, None]
+                s = jnp.sum(le, axis=1).astype(I32) - 1
+                c = jnp.take_along_axis(row_c, s[:, None], axis=1)[:, 0]
+                f = jnp.take_along_axis(row_q, s[:, None], axis=1)[:, 0]
+                code = code - c * t
+                rng = jnp.where((c + f) == U32(QTOTAL), rng - c * t, f * t)
+                for _ in range(N_SLOTS):
+                    do = rng < U32(rc_common.RC_TOP)
+                    b = q0 >> 24
+                    q0 = jnp.where(do, (q0 << 8) | (q1 >> 24), q0)
+                    q1 = jnp.where(do, q1 << 8, q1)
+                    occ = occ - do.astype(U32)
+                    code = jnp.where(do, (code << 8) | b, code)
+                    rng = jnp.where(do, rng << 8, rng)
+                C = C + jnp.zeros_like(C).at[ctx, s].add(
+                    jnp.where(active, U32(inc), U32(0)))
+                prev = jnp.where(active, s.astype(jnp.uint8), prev)
+                t_idx = t_idx + 1
+                outs.append(s.astype(jnp.uint8))
+            return (rng, code, q0, q1, occ, widx, t_idx, C, prev), \
+                jnp.stack(outs)
 
         _, out = lax.scan(
-            step,
+            window,
             (rng, code, q0, q1, occ, widx, U32(0), C0,
              jnp.zeros(k, jnp.uint8)),
-            None, length=steps)
-        return out  # [steps, k]; byte j of lane i = x[i*stride + j]
+            None, length=steps_w // W)
+        # [nw, W, k] -> [steps, k]; byte j of lane i = x[i*stride + j]
+        return out.reshape(steps_w, k)[:steps]
 
     return run
 
@@ -199,6 +228,7 @@ def _parse_rcx_header(r: ByteReader):
     climit_log2 = r.u8()
     qbits = r.u8()
     cbits = r.u8()
+    wlog = r.u8()
     from cpprcoder_tpu.core.bytesutil import CorruptContainerError
 
     if qbits != QBITS:
@@ -206,12 +236,14 @@ def _parse_rcx_header(r: ByteReader):
             f"container qbits {qbits} != build {QBITS}")
     if cbits > 8:
         raise CorruptContainerError(f"bad cbits {cbits}")
-    return n, k, wide, inc, climit_log2, cbits
+    if wlog > 3:
+        raise CorruptContainerError(f"bad wlog {wlog}")
+    return n, k, wide, inc, climit_log2, cbits, wlog
 
 
 def rcx_decode_jax(blob) -> bytes:
     r = ByteReader(blob)
-    n, k, wide, inc, climit_log2, cbits = _parse_rcx_header(r)
+    n, k, wide, inc, climit_log2, cbits, wlog = _parse_rcx_header(r)
     if n == 0:
         return b""
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
@@ -235,7 +267,7 @@ def rcx_decode_jax(blob) -> bytes:
     steps = bucket(stride)
     with profiling.phase("dec.scan", n):
         out = _decode_fn(steps, k, inc, climit_log2, cbits, stride,
-                         l4)(rows_w, U32(n))
+                         l4, wlog)(rows_w, U32(n))
     with profiling.phase("dec.fetch", n):
         arr = np.asarray(jax.device_get(out))       # [steps, k]
         return arr[:stride].T.reshape(-1)[:n].tobytes()

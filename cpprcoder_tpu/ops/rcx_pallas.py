@@ -79,8 +79,12 @@ def _ctx_tables(C, climit: int):
     (q_hi, q_lo, ce_hi, ce_lo) [B,256] f32 (< 128 / < 256, bf16-exact).
     The hi/lo cumsum pieces ride ONE stacked [2B,256]@[256,256] dot."""
     B = C.shape[0]
-    tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)          # < 2^18
-    C = jnp.where(tot >= climit, (C >> 1) | 1, C)
+    # v2: up to 3 conditional halvings (between window requants a row can
+    # reach climit-1 + W*K*inc < 2^19; see models/cxmodel.py) — provably
+    # no-ops beyond the first for wlog=0
+    for _ in range(3):
+        tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)      # < 2^19
+        C = jnp.where(tot >= climit, (C >> 1) | 1, C)
     tot = jnp.sum(C, axis=1, keepdims=True, dtype=I32)
     q = jnp.maximum(
         _div_rows(C.astype(U32) * U32(QTOTAL - QRESERVE),
@@ -117,8 +121,9 @@ def _ctx_tables_t(CT, climit: int):
     [256, B] (symbol-major) so the per-lane full-row fetch is ONE
     [1024,B]@[B,K] dot with no per-step transposes. Bit-identical math."""
     B = CT.shape[1]
-    tot = jnp.sum(CT, axis=0, keepdims=True, dtype=I32)         # [1,B]
-    CT = jnp.where(tot >= climit, (CT >> 1) | 1, CT)
+    for _ in range(3):
+        tot = jnp.sum(CT, axis=0, keepdims=True, dtype=I32)     # [1,B]
+        CT = jnp.where(tot >= climit, (CT >> 1) | 1, CT)
     tot = jnp.sum(CT, axis=0, keepdims=True, dtype=I32)
     q = jnp.maximum(
         _div_cols(CT.astype(U32) * U32(QTOTAL - QRESERVE),
@@ -158,7 +163,7 @@ def _lane_iota(k):
 def _encode_kernel(len_ref, base_ref, x_ref, ev_ref, fl_ref,
                    low_s, car_s, rng_s, cache_s, csz_s, C_s, prev_s,
                    *, k: int, kp: int, inc: int, climit: int, cbits: int,
-                   btot: int):
+                   btot: int, wlog: int = 0):
     """Generalized over per-lane byte limits (len_ref) and per-lane model
     block offsets (base_ref): the solo path passes the chunked-stride
     limits and zeros; the small-file BATCH path packs several files into
@@ -190,8 +195,14 @@ def _encode_kernel(len_ref, base_ref, x_ref, ev_ref, fl_ref,
     iota_256 = lax.broadcasted_iota(I32, (256, kp), 0)
     ev_rows = []
 
+    # v2 window schedule: requantize when j_abs % 2^wlog == 0. W divides
+    # SUB, and programs start at j_abs % SUB == 0, so requant points are
+    # static j offsets and tables never cross program boundaries.
+    W = 1 << wlog
+    q_hi = q_lo = ce_hi = ce_lo = None
     for j in range(SUB):
-        C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
+        if j % W == 0:
+            C, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables(C, climit)
         j_abs = pid * SUB + j
         active = (j_abs < lane_len) & (lanes < k)
         syms = x_ref[j:j + 1, :]                       # [1, Kp] i32
@@ -285,9 +296,10 @@ def _encode_pallas_call(kern, steps: int, steps8: int, k: int, kp: int,
 
 @lru_cache(maxsize=64)
 def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
-                 cbits: int, stride: int):
+                 cbits: int, stride: int, wlog: int = 0):
     kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits)
+                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits,
+                   wlog=wlog)
     steps8 = -(-steps // SUB) * SUB
     call = _encode_pallas_call(kern, steps, steps8, k, kp, 1 << cbits)
 
@@ -308,14 +320,16 @@ def _encode_call(steps: int, k: int, kp: int, inc: int, climit_log2: int,
 
 @lru_cache(maxsize=16)
 def _encode_call_multi(steps: int, k: int, kp: int, inc: int,
-                       climit_log2: int, cbits: int, nfiles: int):
+                       climit_log2: int, cbits: int, nfiles: int,
+                       wlog: int = 0):
     """Batched small-file encode: nfiles disjoint lane groups share one
     kernel dispatch; ctx_base selects each file's own model-row block, so
     per-file output bytes equal the solo encode with that file's (k_i,
     stride_i). Caller supplies lane_len/ctx_base [1, kp]."""
     b = 1 << cbits
     kern = partial(_encode_kernel, k=k, kp=kp, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles)
+                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles,
+                   wlog=wlog)
     steps8 = -(-steps // SUB) * SUB
     call = _encode_pallas_call(kern, steps, steps8, k, kp, b * nfiles)
 
@@ -328,22 +342,27 @@ def _encode_call_multi(steps: int, k: int, kp: int, inc: int,
 
 def rcx_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
                       climit_log2: int | None = None,
-                      cbits: int | None = None) -> bytes:
+                      cbits: int | None = None,
+                      wlog: int | None = None) -> bytes:
+    from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+
     x = as_u8(data)
     n = len(x)
     k, inc, climit_log2, cbits = rcx_params(n, lanes, inc, cbits)
+    wlog = WLOG_DEFAULT if wlog is None else wlog
     if n == 0:
         return (ByteWriter().u32(0).u8(_lane_desc(k, False))
-                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).getvalue())
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).u8(wlog)
+                .getvalue())
     stride = -(-n // k)
     steps = bucket(stride)
     fn = _encode_call(steps, k, max(k, MIN_LANES), inc, climit_log2, cbits,
-                      stride)
+                      stride, wlog)
     phase1 = lambda x2d: fn(x2d, U32(n))
 
     def header(wide):
         return (ByteWriter().u32(n).u8(_lane_desc(k, wide))
-                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits))
+                .u8(inc).u8(climit_log2).u8(QBITS).u8(cbits).u8(wlog))
 
     pad = lambda x, steps, k: _pad2d_chunked(x, steps, k, stride)
     return _encode_container(x, k, phase1, header, time_major=True,
@@ -355,7 +374,7 @@ def rcx_encode_pallas(data, lanes: int | None = None, inc: int | None = None,
 def _decode_kernel(len_ref, base_ref, rows_ref, out_ref,
                    rng_s, code_s, q0_s, q1_s, occ_s, widx_s, C_s, prev_s,
                    *, k: int, kp: int, l4: int, inc: int, climit: int,
-                   cbits: int, btot: int):
+                   cbits: int, btot: int, wlog: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -390,6 +409,8 @@ def _decode_kernel(len_ref, base_ref, rows_ref, out_ref,
     rows = rows_ref[:]
     out_rows = []
 
+    WIN = 1 << wlog
+    q_hi = q_lo = ce_hi = ce_lo = None
     for j in range(SUB):
         need = occ < U32(N_SLOTS)
         sel = jnp.where(need, widx, I32(-1))
@@ -401,7 +422,8 @@ def _decode_kernel(len_ref, base_ref, rows_ref, out_ref,
         occ = jnp.where(need, occ + 4, occ)
         widx = widx + need.astype(I32)
 
-        CT, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables_t(CT, climit)
+        if j % WIN == 0:
+            CT, q_hi, q_lo, ce_hi, ce_lo = _ctx_tables_t(CT, climit)
         j_abs = pid * SUB + j
         active = (j_abs < lane_len) & (lanes < k)
         ctx = ctx_base + ((prev >> (8 - cbits)) if cbits else prev * 0)
@@ -493,9 +515,10 @@ def _decode_pallas_call(kern, steps8: int, k: int, kp: int, l4: int,
 
 @lru_cache(maxsize=64)
 def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
-                 climit_log2: int, cbits: int, stride: int):
+                 climit_log2: int, cbits: int, stride: int, wlog: int = 0):
     kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits)
+                   climit=1 << climit_log2, cbits=cbits, btot=1 << cbits,
+                   wlog=wlog)
     steps8 = -(-steps // SUB) * SUB
     call = _decode_pallas_call(kern, steps8, k, kp, l4, 1 << cbits)
 
@@ -513,11 +536,13 @@ def _decode_call(steps: int, k: int, kp: int, l4: int, inc: int,
 
 @lru_cache(maxsize=16)
 def _decode_call_multi(steps: int, k: int, kp: int, l4: int, inc: int,
-                       climit_log2: int, cbits: int, nfiles: int):
+                       climit_log2: int, cbits: int, nfiles: int,
+                       wlog: int = 0):
     """Batched small-file decode twin of _encode_call_multi."""
     b = 1 << cbits
     kern = partial(_decode_kernel, k=k, kp=kp, l4=l4, inc=inc,
-                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles)
+                   climit=1 << climit_log2, cbits=cbits, btot=b * nfiles,
+                   wlog=wlog)
     steps8 = -(-steps // SUB) * SUB
     call = _decode_pallas_call(kern, steps8, k, kp, l4, b * nfiles)
 
@@ -533,7 +558,7 @@ def rcx_decode_pallas(blob) -> bytes:
     from cpprcoder_tpu.ops.rcx_ops import rcx_decode_jax
 
     r = ByteReader(blob)
-    n, k, wide, inc, climit_log2, cbits = _parse_rcx_header(r)
+    n, k, wide, inc, climit_log2, cbits, wlog = _parse_rcx_header(r)
     if n == 0:
         return b""
     sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int32)
@@ -561,7 +586,7 @@ def rcx_decode_pallas(blob) -> bytes:
     steps = bucket(stride)
     with profiling.phase("dec.scan", n):
         out = _decode_call(steps, k, kp, l4, inc, climit_log2, cbits,
-                           stride)(rows_wT, n)
+                           stride, wlog)(rows_wT, n)
     with profiling.phase("dec.fetch", n):
         arr = np.asarray(jax.device_get(out))
         return arr[:stride].T.reshape(-1)[:n].astype(np.uint8).tobytes()

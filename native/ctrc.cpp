@@ -651,50 +651,60 @@ struct RcxModel {
         cums(static_cast<size_t>(B) * 256, 0),
         tot(B, 256), dirty(B, 1) {}
 
-  // the oracle rescales every hot row AT MOST ONCE per step, before
-  // quantizing; this per-step check halves under exactly the same
-  // condition, so model states stay bit-identical
-  void begin_step() {
-    for (int r = 0; r < B; ++r) {
-      if (tot[r] >= climit) {
-        uint32_t* row = &C[static_cast<size_t>(r) * 256];
-        uint64_t t = 0;
-        for (int i = 0; i < 256; ++i) {
-          row[i] = (row[i] >> 1) | 1;
-          t += row[i];
+  // v2 window boundary: rescale (up to 3 conditional halvings, matching
+  // models/cxmodel.py RESCALE_ROUNDS — between requants a row can exceed
+  // 2*climit) then requantize every row whose counts changed. Tables are
+  // FROZEN until the next boundary even though counts keep updating, so
+  // quantization must happen here, not lazily at use time.
+  void begin_window() {
+    for (int round = 0; round < 3; ++round) {
+      bool any = false;
+      for (int r = 0; r < B; ++r) {
+        if (tot[r] >= climit) {
+          uint32_t* row = &C[static_cast<size_t>(r) * 256];
+          uint64_t t = 0;
+          for (int i = 0; i < 256; ++i) {
+            row[i] = (row[i] >> 1) | 1;
+            t += row[i];
+          }
+          tot[r] = t;
+          dirty[r] = 1;
+          any = true;
         }
-        tot[r] = t;
-        dirty[r] = 1;
       }
+      if (!any) break;
     }
+    for (int r = 0; r < B; ++r)
+      if (dirty[r]) quantize_row(r);
   }
 
-  // quantize row r lazily (pure function of C[r]; identical per-row
-  // semantics to rcq_quantize: floor-scale, min 1, remainder to first max)
-  const uint32_t* row_cums(int r) {
-    if (dirty[r]) {
-      const uint32_t* row = &C[static_cast<size_t>(r) * 256];
-      uint32_t* qr = &q[static_cast<size_t>(r) * 256];
-      uint32_t sum = 0;
-      for (int i = 0; i < 256; ++i) {
-        uint64_t num = static_cast<uint64_t>(row[i]) * (kQTotal - kQReserve);
-        uint32_t v = static_cast<uint32_t>(num / tot[r]);
-        qr[i] = v < 1 ? 1 : v;
-        sum += qr[i];
-      }
-      uint32_t rem = kQTotal - sum;
-      int arg = 0;
-      for (int i = 1; i < 256; ++i)
-        if (qr[i] > qr[arg]) arg = i;  // first max
-      qr[arg] += rem;
-      uint32_t* cr = &cums[static_cast<size_t>(r) * 256];
-      uint32_t acc = 0;
-      for (int i = 0; i < 256; ++i) {
-        cr[i] = acc;
-        acc += qr[i];
-      }
-      dirty[r] = 0;
+  // quantize row r (pure function of C[r]; identical per-row semantics to
+  // rcq_quantize: floor-scale, min 1, remainder to first max)
+  void quantize_row(int r) {
+    const uint32_t* row = &C[static_cast<size_t>(r) * 256];
+    uint32_t* qr = &q[static_cast<size_t>(r) * 256];
+    uint32_t sum = 0;
+    for (int i = 0; i < 256; ++i) {
+      uint64_t num = static_cast<uint64_t>(row[i]) * (kQTotal - kQReserve);
+      uint32_t v = static_cast<uint32_t>(num / tot[r]);
+      qr[i] = v < 1 ? 1 : v;
+      sum += qr[i];
     }
+    uint32_t rem = kQTotal - sum;
+    int arg = 0;
+    for (int i = 1; i < 256; ++i)
+      if (qr[i] > qr[arg]) arg = i;  // first max
+    qr[arg] += rem;
+    uint32_t* cr = &cums[static_cast<size_t>(r) * 256];
+    uint32_t acc = 0;
+    for (int i = 0; i < 256; ++i) {
+      cr[i] = acc;
+      acc += qr[i];
+    }
+    dirty[r] = 0;
+  }
+
+  const uint32_t* row_cums(int r) const {
     return &cums[static_cast<size_t>(r) * 256];
   }
 
@@ -715,7 +725,8 @@ extern "C" {
 
 int64_t ct_rcx_encode(const uint8_t* src, int64_t n, uint32_t k,
                       uint32_t inc, uint32_t climit_log2, uint32_t cbits,
-                      uint8_t* dst, int64_t cap) {
+                      uint32_t wlog, uint8_t* dst, int64_t cap) {
+  if (wlog > 3) return -1;
   std::vector<uint8_t> hdr;
   write_u32(hdr, static_cast<uint32_t>(n));
   hdr.push_back(0);
@@ -723,19 +734,21 @@ int64_t ct_rcx_encode(const uint8_t* src, int64_t n, uint32_t k,
   hdr.push_back(static_cast<uint8_t>(climit_log2));
   hdr.push_back(static_cast<uint8_t>(kQBits));
   hdr.push_back(static_cast<uint8_t>(cbits));
+  hdr.push_back(static_cast<uint8_t>(wlog));
   if (n == 0) {
-    if (cap < 9) return -1;
-    std::memcpy(dst, hdr.data(), 9);
+    if (cap < 10) return -1;
+    std::memcpy(dst, hdr.data(), 10);
     dst[4] = lane_log2(k);
-    return 9;
+    return 10;
   }
   RcxModel m(cbits, 1u << climit_log2, inc);
   std::vector<LaneEncoder> lanes(k);
   std::vector<uint8_t> prev(k, 0);
   int64_t stride = (n + k - 1) / k;
+  int64_t W = int64_t(1) << wlog;
   int shift = 8 - static_cast<int>(cbits);
   for (int64_t t = 0; t < stride; ++t) {
-    m.begin_step();
+    if (t % W == 0) m.begin_window();
     // active lanes are the prefix {i : i*stride + t < n}
     int64_t active = (n - t + stride - 1) / stride;
     for (int64_t i = 0; i < active; ++i) {
@@ -757,7 +770,7 @@ int64_t ct_rcx_encode(const uint8_t* src, int64_t n, uint32_t k,
 
 int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
                       int64_t cap) {
-  if (src_size < 9) return -1;
+  if (src_size < 10) return -1;
   uint32_t n;
   std::memcpy(&n, src, 4);
   if ((src[4] & 0x1F) > 16 || src[6] >= 32) return -1;  // header bounds
@@ -768,9 +781,11 @@ int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   if (src[7] != kQBits) return -1;
   uint32_t cbits = src[8];
   if (cbits > 8) return -1;
+  uint32_t wlog = src[9];
+  if (wlog > 3) return -1;
   if (n == 0) return 0;
   if (static_cast<int64_t>(n) > cap) return -1;
-  int64_t pos = 9;
+  int64_t pos = 10;
   std::vector<int64_t> sizes(k);
   for (uint32_t j = 0; j < k; ++j) {
     if (wide) {
@@ -794,9 +809,10 @@ int64_t ct_rcx_decode(const uint8_t* src, int64_t src_size, uint8_t* dst,
   RcxModel m(cbits, 1u << climit_log2, inc);
   std::vector<uint8_t> prev(k, 0);
   int64_t stride = (n + k - 1) / k;
+  int64_t W = int64_t(1) << wlog;
   int shift = 8 - static_cast<int>(cbits);
   for (int64_t t = 0; t < stride; ++t) {
-    m.begin_step();
+    if (t % W == 0) m.begin_window();
     int64_t active = (n - t + stride - 1) / stride;
     for (int64_t i = 0; i < active; ++i) {
       LaneDecoder& d = decs[i];

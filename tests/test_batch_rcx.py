@@ -39,11 +39,12 @@ def test_batch_matches_parameter_matched_solo():
         k, o = job.ks[i], job.offs[i]
         solo = rcx_pallas.rcx_encode_pallas(
             data, lanes=k, inc=job.inc, climit_log2=job.cl,
-            cbits=job.cbits)
+            cbits=job.cbits, wlog=job.wlog)
         r = ByteReader(solo)
-        n, k2, wide, inc, cl, cbits = _parse_rcx_header(r)
-        assert (n, k2, inc, cl, cbits) == (len(data), k, job.inc, job.cl,
-                                           job.cbits)
+        n, k2, wide, inc, cl, cbits, wlog = _parse_rcx_header(r)
+        assert (n, k2, inc, cl, cbits, wlog) == (len(data), k, job.inc,
+                                                 job.cl, job.cbits,
+                                                 job.wlog)
         solo_sizes = (r.u32s(k) if wide else r.u16s(k)).astype(np.int64)
         payload = r.rest()
         offs = np.concatenate(([0], np.cumsum(solo_sizes)))

@@ -149,3 +149,27 @@ def test_registry_roundtrip():
     c = codecs.get_codec("rcx")
     blob = c.encode(data)
     assert c.decode(blob) == data
+
+
+def test_wlog_sweep_identity_all_backends():
+    """v2 window schedule: oracle == jax == pallas containers for every
+    wlog, and wlog is decodable from every backend."""
+    data = _textish(3000, seed=3)
+    for wlog in (0, 1, 2, 3):
+        ref = rcx_ref.rcx_encode(data, wlog=wlog)
+        jx = rcx_ops.rcx_encode_jax(data, wlog=wlog)
+        pl_ = rcx_pallas.rcx_encode_pallas(data, wlog=wlog)
+        assert jx == ref, wlog
+        assert pl_ == ref, wlog
+        assert rcx_ops.rcx_decode_jax(ref) == data
+        assert rcx_pallas.rcx_decode_pallas(ref) == data
+        assert rcx_ref.rcx_decode(ref) == data
+
+
+def test_wlog_containers_differ_and_ratio_close():
+    """wlog>0 changes the payload (stale tables) but only slightly hurts
+    ratio; wlog must round-trip through the header."""
+    data = _textish(20000, seed=4)
+    blobs = {w: rcx_ref.rcx_encode(data, wlog=w) for w in (0, 2)}
+    assert blobs[0] != blobs[2]
+    assert len(blobs[2]) <= len(blobs[0]) * 1.03

@@ -46,8 +46,10 @@ def _roundtrip(x, mesh, blocks):
         total = int(compaction.payload_layout(ev)[4])
         payload, sizes = compaction.materialize(ev, bucket(total + 8))
         payload_np = np.asarray(payload)[:total]
-        # container bytes == single-device oracle for the same block
-        blob = rcx_ref.rcx_encode(bytes(xb), lanes=K, inc=INC, cbits=CB)
+        # container bytes == single-device oracle for the same block (the
+        # sharded encoder uses the per-step requant schedule, wlog=0)
+        blob = rcx_ref.rcx_encode(bytes(xb), lanes=K, inc=INC, cbits=CB,
+                                  wlog=0)
         assert blob[-total:] == payload_np.tobytes(), f"block {b}"
         p_cap = bucket(max(total, 1))
         padded = np.zeros(p_cap, np.uint8)
