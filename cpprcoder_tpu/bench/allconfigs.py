@@ -324,7 +324,7 @@ class SLZ4Job:
             np.minimum(s, np.maximum(n - np.arange(n_segs) * s, 0))
             .astype(np.int32))
         t_cap = lz_ops._t_cap(s)
-        self.parse = lz_ops._parse_fn(n_segs, s, t_cap, True)
+        self.parse = lz_ops._parse_fn_v2(n_segs, s, t_cap, True)
         out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024
         self.ser = lz_ops._serialize_fn(n_segs, s, t_cap, out_cap)
         self._lz = lz_ops
@@ -611,13 +611,16 @@ class O1Job:
 
 
 class PipelineJob:
-    """Config 4 end-to-end: blocksort -> MTF-1 -> adaptive range coder as
+    """Config 4 end-to-end: blocksort -> MTF-1 -> CT-RCX Pallas coder as
     ONE timed device path (reference pipeline precedent:
-    test/main.cpp:944-1002 composes blocksort with a backend coder)."""
+    test/main.cpp:944-1002 composes blocksort with a backend coder).
+    Every stage is device-resident: the MTF ranks feed the flagship
+    entropy kernel through an on-device chunked-lane relayout, and the
+    decode side inverts it without touching the host."""
 
     def __init__(self, name: str, data: bytes, block_log2: int = 15):
-        from cpprcoder_tpu.config import adaptive_params_for, pick_lanes
-        from cpprcoder_tpu.ops import bwt_ops, mtf_ops, range_ops
+        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT, rcx_params
+        from cpprcoder_tpu.ops import bwt_ops, mtf_ops, rcx_pallas
 
         self.name, self.data = name, data
         x = np.frombuffer(data, np.uint8)
@@ -632,54 +635,72 @@ class PipelineJob:
         self.inv = bwt_ops._inverse_fn(nb, bs)
         self.mtf_e = mtf_ops._encode_fn(nb, bs, True)
         self.mtf_d = mtf_ops._decode_fn(nb, bs, True)
-        self.k = k = pick_lanes(nb * bs)
-        self.inc, self.ll = adaptive_params_for(k)
-        self.steps = steps = bucket(-(-(nb * bs) // k))
-        self.pad = steps * k - nb * bs
-        self.nn = U32(nb * bs)
-        self.enc = range_ops._adaptive_encode_fn(steps, k, self.inc, self.ll)
-        self._range_ops = range_ops
+        n = nb * bs
+        k, inc, cl, cbits = rcx_params(n)
+        self.k, self.inc, self.cl, self.cbits = k, inc, cl, cbits
+        self.wlog = WLOG_DEFAULT
+        self.kp = max(k, rcx_pallas.MIN_LANES)
+        self.stride = stride = -(-n // k)
+        self.steps = steps = bucket(stride)
+        self.nn = U32(n)
+        self.enc = rcx_pallas._encode_call(steps, k, self.kp, inc, cl,
+                                           cbits, stride, self.wlog)
+        self._rcx_pallas = rcx_pallas
+
+    def _to_chunked(self, flat):
+        """[n] u8 -> [steps, k] chunked lane layout, on device."""
+        n, k, st = self.n, self.k, self.stride
+        buf = jnp.pad(flat, (0, k * st - n))
+        x2d = buf.reshape(k, st).T
+        return jnp.pad(x2d, ((0, self.steps - st), (0, 0)))
 
     def _enc_chain(self, blocks):
         last, idx = self.fwd(blocks)
         ranks = self.mtf_e(last)
-        flat = ranks.reshape(-1)
-        if self.pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros(self.pad, flat.dtype)])
-        x2d = flat.reshape(self.steps, self.k)
-        events, lane_sizes, total = self.enc(x2d, self.nn)[:3]
-        return events, total, idx
+        x2d = self._to_chunked(ranks.reshape(-1))
+        events, lane_sizes, total = self.enc(x2d, self.nn)
+        return events, lane_sizes, total, idx
+
+    def _encode_full(self, blocks):
+        from cpprcoder_tpu.ops import compaction
+
+        events, lane_sizes, total, idx = self._enc_chain(blocks)
+        rows, sizes = compaction.materialize_rows(events, self.l2)
+        return rows, sizes, total, idx
 
     def warm(self):
-        events, total, idx = self._enc_chain(self.blocks)
-        self.cap = cap = bucket(int(total) + 8)
-        n_slots = 2 if self.ll <= 16 else 3
-        self.mat = self._range_ops._materialize_fn(
-            self.k, self.steps * n_slots + 2, cap)
-        self.dec = self._range_ops._adaptive_decode_fn(
-            self.steps, self.k, self.inc, self.ll, cap)
-        payload, sizes = self.mat(events)
-        self._enc_out = (payload, sizes, idx)
-        self.compressed = int(total) + 7 + 2 * self.k + 2 * self.nb
-        self._dec_out = self._dec_chain(payload, sizes, idx)
+        probe = self._enc_chain(self.blocks)
+        max_sz = int(np.asarray(jax.device_get(probe[1])).max())
+        total = int(probe[2])
+        self.l4 = bucket(-(-max_sz // 4) + 1)
+        self.l2 = 4 * self.l4
+        self.dec = self._rcx_pallas._decode_call(
+            self.steps, self.k, self.kp, self.l4, self.inc, self.cl,
+            self.cbits, self.stride, self.wlog)
+        rows, sizes, total_, idx = self._encode_full(self.blocks)
+        self._enc_out = (rows, sizes, idx)
+        self.compressed = int(total_) + 10 + 2 * self.k + 2 * self.nb
+        self._dec_out = self._dec_chain(rows, idx)
 
-    def _dec_chain(self, payload, sizes, idx):
-        out = self.dec(payload, sizes, self.nn)       # [steps, k] u8
-        ranks = out.reshape(-1)[: self.nb * self.bs].reshape(
-            self.nb, self.bs)
+    def _dec_chain(self, rows, idx):
+        from cpprcoder_tpu.ops import compaction
+
+        rows_w = compaction.rows_to_be_words(rows)
+        out = self.dec(rows_w.T, jnp.int32(self.n))    # [steps8, k] i32
+        flat = out[: self.stride, : self.k].astype(jnp.uint8).T.reshape(
+            -1)[: self.n]
+        ranks = flat.reshape(self.nb, self.bs)
         last = self.mtf_d(ranks)
         return self.inv(last, idx)
 
     def _enc_body(self, p):
-        events, total, idx = self._enc_chain(self.blocks ^ p)
-        payload, sizes = self.mat(events)
-        return (jnp.sum(payload, dtype=U32) + jnp.sum(sizes, dtype=U32)
-                + jnp.sum(idx, dtype=U32))
+        rows, sizes, total, idx = self._encode_full(self.blocks ^ p)
+        return (jnp.sum(rows.astype(U32), dtype=U32)
+                + jnp.sum(sizes, dtype=U32) + jnp.sum(idx, dtype=U32))
 
     def _dec_body(self, p):
-        payload, sizes, idx = self._enc_out
-        out = self._dec_chain(payload ^ p, sizes, idx)
+        rows, sizes, idx = self._enc_out
+        out = self._dec_chain(rows ^ p.astype(rows.dtype), idx)
         return jnp.sum(out, dtype=U32)
 
     run = RANSJob.run
@@ -688,11 +709,13 @@ class PipelineJob:
         ok = bool(np.asarray(jax.device_get(
             (self._dec_out == self.blocks).all())))
         nbytes = self.nb * self.bs
-        return {"file": self.name, "codec": "bwt_mtf1_adaptive",
-                "bytes": nbytes, "k": self.k, "compressed": self.compressed,
+        return {"file": self.name, "codec": "bwt_mtf1_rcx", "bytes": nbytes,
+                "k": self.k, "compressed": self.compressed,
                 "ratio": self.compressed / nbytes,
                 "enc_MBps": nbytes / self.enc_t / 1e6,
                 "dec_MBps": nbytes / self.dec_t / 1e6,
+                "timing": [getattr(self, "enc_how", "slope"),
+                           getattr(self, "dec_how", "slope")],
                 "roundtrip_ok": ok}
 
 

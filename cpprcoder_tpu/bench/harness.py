@@ -44,8 +44,25 @@ def data_dir() -> str:
     return os.path.join(os.path.dirname(__file__), "..", "..", "data")
 
 
+# The 12 Silesia paths the reference names (test/main.cpp:1259-1270). The
+# corpus is not redistributable inside this repo; point CT_SILESIA_DIR at
+# an extracted copy (http://sun.aei.polsl.pl/~sdeor/corpus/silesia.zip) or
+# drop the files in data/silesia/. Rows appear only for present files.
+SILESIA = ["dickens", "mozilla", "mr", "nci", "ooffice", "osdb", "reymont",
+           "samba", "sao", "webster", "xml", "x-ray"]
+
+
+def silesia_files() -> list[str]:
+    """Silesia corpus file PATHS that exist locally (may be empty)."""
+    root = os.environ.get(
+        "CT_SILESIA_DIR", os.path.join(data_dir(), "silesia"))
+    return [os.path.join(root, f) for f in SILESIA
+            if os.path.exists(os.path.join(root, f))]
+
+
 def load(name: str) -> bytes:
-    with open(os.path.join(data_dir(), name), "rb") as f:
+    path = name if os.path.isabs(name) else os.path.join(data_dir(), name)
+    with open(path, "rb") as f:
         return f.read()
 
 
@@ -72,12 +89,14 @@ def run_codec(codec_name: str, files=None, repeats: int = 3,
             dec_t = min(dec_t, time.perf_counter() - t0)
         ok = out == data
         rows.append({
-            "file": name, "bytes": len(data), "compressed": len(blob),
+            "file": os.path.basename(name), "bytes": len(data),
+            "compressed": len(blob),
             "ratio": len(blob) / len(data),
             "enc_MBps": len(data) / enc_t / 1e6,
             "dec_MBps": len(data) / dec_t / 1e6,
             "roundtrip_ok": bool(ok),
-            "ref_ratio": REF_RATIOS.get(codec_name, {}).get(name),
+            "ref_ratio": REF_RATIOS.get(codec_name, {}).get(
+                os.path.basename(name)),
         })
     total = sum(r["bytes"] for r in rows)
     comp = sum(r["compressed"] for r in rows)
@@ -202,7 +221,17 @@ def main(argv=None):
                    help="codec names (see list_codecs())")
     p.add_argument("--json", action="store_true")
     p.add_argument("--files", nargs="*", default=None)
+    p.add_argument("--corpus", choices=["canterbury", "silesia"],
+                   default="canterbury",
+                   help="silesia needs CT_SILESIA_DIR or data/silesia/")
     args = p.parse_args(argv)
+    if args.corpus == "silesia" and args.files is None:
+        args.files = silesia_files()
+        if not args.files:
+            print(json.dumps({"error": "silesia corpus not present",
+                              "hint": "set CT_SILESIA_DIR or extract "
+                                      "silesia.zip into data/silesia/"}))
+            return
     for name in args.codecs:
         if name in external_names():
             agg = run_external(name, files=args.files)

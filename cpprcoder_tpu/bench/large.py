@@ -1,10 +1,19 @@
 """Large-stream benchmark: MEASURED end-to-end, every superblock verified.
 
 Round 1 timed one superblock and multiplied by the count (VERDICT.md
-"What's weak" #5). This version actually drives the FULL stream through the
-device: every superblock is encoded, decoded, and byte-verified on device,
-with superblocks processed in batches of `batch` per jit dispatch so the
-tunnel's fixed per-dispatch cost amortizes. Two numbers are reported:
+"What's weak" #5). Round 4 drove the full stream but staged each batch on
+the host (numpy chunked relayout + a blocking result fetch per batch), so
+the stream wall ran at 13% of the device rate (round-4 VERDICT "weak" #4).
+This version overlaps everything:
+
+  - the chunked-lane relayout happens ON DEVICE inside the jitted batch
+    program — the host uploads the raw contiguous superblock bytes only;
+  - uploads and dispatches are issued asynchronously and results are
+    drained with a fixed lag (LAG batches in flight), so H2D transfer,
+    kernel compute, and the tiny scalar result fetches pipeline instead
+    of serializing.
+
+Two numbers are reported:
 
   - stream_wall_s: wall clock for the whole loop (real, includes this dev
     environment's tunnel dispatch+sync overhead — a lower bound on any
@@ -12,9 +21,9 @@ tunnel's fixed per-dispatch cost amortizes. Two numbers are reported:
   - device time from the slope protocol on one batch (the production
     number: per-dispatch overhead cancelled).
 
-Codec: CT-RCQ (Pallas backend). Superblocks are 1 MiB — the sort-based
-materializer's record capacity (ops/compaction.py) — which is also the
-CT-SB framing unit for distribution.
+Codec: CT-RCX (flagship) or CT-RCQ, Pallas backends. Superblocks are
+1 MiB — the sort-based materializer's record capacity (ops/compaction.py) —
+which is also the CT-SB framing unit for distribution.
 """
 
 from __future__ import annotations
@@ -33,14 +42,23 @@ from cpprcoder_tpu.utils.shapes import bucket
 U32 = jnp.uint32
 I32 = jnp.int32
 
+LAG = 3          # batches in flight before draining results
+
 
 @lru_cache(maxsize=4)
 def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
-               batch: int, codec: str = "rcq", cbits: int = 0,
-               stride: int = 0, wlog: int = 0):
+               batch: int, superblock: int, codec: str = "rcq",
+               cbits: int = 0, stride: int = 0, wlog: int = 0):
     from cpprcoder_tpu.ops import range_ops, rcq_ops, rcq_pallas
 
     kp = max(k, rcq_pallas.MIN_LANES)
+
+    def to_chunked(x):
+        """[superblock] u8 -> [steps, k] chunked lane layout, on device."""
+        buf = jnp.pad(x, (0, k * stride - superblock))
+        x2d = buf.reshape(k, stride).T
+        return jnp.pad(x2d, ((0, steps - stride), (0, 0)))
+
     if codec == "rcx":
         from cpprcoder_tpu.ops import compaction, rcx_pallas
 
@@ -50,13 +68,15 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
                                       stride, wlog)
 
         @jax.jit
-        def run_batch(x3d, n):
-            """Device-resident pipeline: kernel -> merge-expansion rows ->
-            BE word rows -> decode kernel (the CT-SB interchange layout;
-            the flat container payload is host row-slicing)."""
+        def run_batch(raw, n):
+            """raw [batch, superblock] u8. Device-resident pipeline:
+            relayout -> kernel -> merge-expansion rows -> BE word rows ->
+            decode kernel (the CT-SB interchange layout; the flat container
+            payload is host row-slicing)."""
             eqs, totals = [], []
             for b in range(batch):
-                events_t, lane_sizes, total = enc(x3d[b], n)
+                x2d = to_chunked(raw[b])
+                events_t, lane_sizes, total = enc(x2d, n)
                 rows, sizes = compaction.materialize_rows(events_t,
                                                             4 * l4)
                 out = dec(compaction.rows_to_be_words(rows).T,
@@ -70,7 +90,7 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
                 lane = jax.lax.broadcasted_iota(I32, (steps, k), 1)
                 act = (jrow < stride) & (lane * stride + jrow
                                          < n.astype(I32))
-                eq_cell = out[: steps] == x3d[b][: steps].astype(I32)
+                eq_cell = out[: steps] == x2d.astype(I32)
                 eqs.append(jnp.sum(jnp.where(act, eq_cell, True),
                                    dtype=I32))
                 totals.append(total)
@@ -84,16 +104,18 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
     rows_fn = rcq_ops._rows_fn(k, l4, cap)
 
     @jax.jit
-    def run_batch(x3d, n):
-        """x3d [batch, steps, k] -> (eq_counts [batch], totals [batch])."""
+    def run_batch(raw, n):
+        """raw [batch, superblock] u8 -> (eq_counts [batch], totals)."""
         eqs, totals = [], []
         for b in range(batch):
-            events_t, lane_sizes, total = enc(x3d[b], n)
+            x2d = jnp.pad(raw[b], (0, steps * k - superblock)).reshape(
+                steps, k)
+            events_t, lane_sizes, total = enc(x2d, n)
             payload, sizes = mat(events_t)
             rows = rows_fn(payload, sizes.astype(I32))
             out = dec0(rows.T, n)
             dec_syms = out[: steps].reshape(-1)
-            src = x3d[b].reshape(-1)
+            src = x2d.reshape(-1)
             eqs.append(jnp.sum((dec_syms == src).astype(I32), dtype=I32))
             totals.append(total)
         return jnp.stack(eqs), jnp.stack(totals)
@@ -103,7 +125,7 @@ def _batch_fns(steps: int, k: int, inc: int, cl: int, cap: int, l4: int,
 
 def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
                 batch: int = 8, lanes: int = 2048, seed: int = 0,
-                codec: str = "rcq") -> dict:
+                codec: str = "rcx") -> dict:
     from cpprcoder_tpu.bench.synth import synth_stream
 
     data = synth_stream(total_bytes, seed)
@@ -111,9 +133,7 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
     n_sb = -(-n // superblock)
     n_batches = -(-n_sb // batch)
     if codec == "rcx":
-        from cpprcoder_tpu.models.cxmodel import rcx_params
-
-        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT
+        from cpprcoder_tpu.models.cxmodel import WLOG_DEFAULT, rcx_params
 
         k, inc, cl, cbits = rcx_params(superblock, lanes)
         wlog = WLOG_DEFAULT
@@ -121,35 +141,23 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
         hdr = 10 + 2 * k
     else:
         k, inc, cl = rcq_params(superblock, lanes)
-        cbits, stride, wlog = 0, 0, 0
+        cbits, wlog = 0, 0
+        stride = -(-superblock // k)
         hdr = 8 + 2 * k
     steps = bucket(-(-superblock // k))
     cap = bucket(superblock + (superblock >> 4) + 16 * k + 1024)
     l4 = bucket((2 * steps + 8) // 4 + 2)
-    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch, codec, cbits,
-                    stride, wlog)
+    fn = _batch_fns(steps, k, inc, cl, cap, l4, batch, superblock, codec,
+                    cbits, stride, wlog)
     nn = U32(superblock)
 
-    # pad the stream to whole batches
+    # pad the stream to whole batches; uploads are raw contiguous bytes
     padded = np.zeros(n_batches * batch * superblock, np.uint8)
     padded[:n] = np.frombuffer(data, np.uint8)
-
-    def batch_arr(i):
-        seg = padded[i * batch * superblock:(i + 1) * batch * superblock]
-        sb = seg.reshape(batch, superblock)
-        if codec == "rcx":
-            from cpprcoder_tpu.ops.rcx_ops import _pad2d_chunked
-
-            out = np.stack([
-                _pad2d_chunked(sb[b], steps, k, stride)
-                for b in range(batch)])
-            return jnp.asarray(out)
-        out = np.zeros((batch, steps * k), np.uint8)
-        out[:, :superblock] = sb
-        return jnp.asarray(out.reshape(batch, steps, k))
+    raw = padded.reshape(n_batches, batch, superblock)
 
     # warm/compile on batch 0
-    x0 = batch_arr(0)
+    x0 = jnp.asarray(raw[0])
     jax.block_until_ready(fn(x0, nn))
 
     # device time via the slope protocol on one batch
@@ -160,15 +168,26 @@ def bench_large(total_bytes: int = 1 << 30, superblock: int = 1 << 20,
 
     t_batch = measure(body, 1, 3, repeats=4)
 
-    # the REAL full-stream run: every superblock, verified
+    # the REAL full-stream run: every superblock verified, with uploads,
+    # dispatches, and result drains overlapped (LAG batches in flight)
     t0 = time.perf_counter()
     total_comp = 0
     eq_total = 0
-    for i in range(n_batches):
-        xb = batch_arr(i)
-        eqs, totals = fn(xb, nn)
+    inflight: list = []
+
+    def drain(res):
+        nonlocal total_comp, eq_total
+        eqs, totals = res
         eq_total += int(jnp.sum(eqs, dtype=jnp.int64))
         total_comp += int(jnp.sum(totals, dtype=jnp.int64))
+
+    for i in range(n_batches):
+        xb = jax.device_put(raw[i])
+        inflight.append(fn(xb, nn))
+        if len(inflight) > LAG:
+            drain(inflight.pop(0))
+    while inflight:
+        drain(inflight.pop(0))
     wall = time.perf_counter() - t0
 
     ok = eq_total == n_batches * batch * steps * k

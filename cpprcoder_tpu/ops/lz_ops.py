@@ -55,6 +55,8 @@ LCP_LEVELS = LCP_CAP.bit_length() - 1  # 12: spans up to 4096
 def _shift_left(a, h):
     """a[:, i] -> a[:, i+h], zero-padded at the right edge."""
     nseg, s = a.shape
+    if h >= s:
+        return jnp.zeros_like(a)
     return jnp.concatenate([a[:, h:], jnp.zeros((nseg, h), a.dtype)], axis=1)
 
 
@@ -390,13 +392,257 @@ def _resolve_fn(nseg: int, s: int, t_cap: int):
     return run
 
 
+# ------------------------------------------------------------- parse v2
+# Sort-carry suffix-neighborhood parse (spec: reference/slz4_ref.py
+# parse_segment_v2; containers byte-identical BY CONSTRUCTION — both
+# backends compare the same u32 hash chains).  The per-pass costs that
+# killed v1 on TPU (52 gathers in the LCP ladder, 34 more in the
+# pointer-doubling trajectory; ~900 ms for 1 MiB) are replaced by:
+#   - ONE 24-operand sort (keys: flag, 16-byte prefix, pos; carried:
+#     words to 32 B + hash ladder) and elementwise adjacent-rank compares;
+#   - a block-composed greedy walk: per-128-block jump tables built with
+#     log2(B) one-hot MXU contractions (bf16 limb-exact), one lax.scan
+#     chain across blocks, and an orbit-doubling membership pass;
+#   - match clamp via cummax/reverse-cummin propagation (2 gathers total).
+
+W_EXACT = 8
+LADDER_LO = 5
+D_UP = 4
+D_DN = 2
+WALK_B = 128
+
+
+def _shr_fill(a, h, fill):
+    """a[:, k] -> a[:, k+h] (shift toward higher ranks), fill at the left."""
+    nseg, s = a.shape
+    if h == 0:
+        return a
+    return jnp.concatenate(
+        [jnp.full((nseg, h), fill, a.dtype), a[:, :-h]], axis=1)
+
+
+def _shl_fill(a, h, fill):
+    nseg, s = a.shape
+    if h == 0:
+        return a
+    return jnp.concatenate(
+        [a[:, h:], jnp.full((nseg, h), fill, a.dtype)], axis=1)
+
+
+def _v2_operands(blocks):
+    """Words w0..w7 + packed hash-ladder operands (ext_p << 16 | ref_p,
+    16-bit window hashes), all [nseg, s]."""
+    u = blocks.astype(U32)
+    sl = _shift_left
+    w = [(sl(u, 4 * k) << 24) | (sl(u, 4 * k + 1) << 16)
+         | (sl(u, 4 * k + 2) << 8) | sl(u, 4 * k + 3)
+         for k in range(W_EXACT)]
+    H = [u]
+    for r in range(12):
+        H.append(_mix(H[-1], sl(H[-1], 1 << r), 0x9E3779B1, 0x85EBCA77))
+    lad = [((sl(H[p], 1 << p) & 0xFFFF) << 16)
+           | (sl(H[p - 1], 1 << p) & 0xFFFF)
+           for p in range(LADDER_LO, 12)]
+    return w, lad
+
+
+def _alcp_sorted(ws, lads, p_s, lens):
+    """lcp of each sorted rank with its predecessor (col 0 = 0), per the
+    v2 spec ladder: exact below 32 B via words, power-of-two hash spans
+    (16-bit, packed ext<<16|ref) with one half-step refinement beyond,
+    capped by segment bounds."""
+    nseg, s = p_s.shape
+    prev = lambda a: _shr_fill(a, 1, 0)
+    lcp = jnp.zeros((nseg, s), I32)
+    done = jnp.zeros((nseg, s), jnp.bool_)
+    for k in range(W_EXACT):
+        x = ws[k] ^ prev(ws[k])
+        neq = x != 0
+        inw = jnp.where((x >> 24) != 0, 0,
+                        jnp.where((x >> 16) & 0xFF, 1,
+                                  jnp.where((x >> 8) & 0xFF, 2, 3))).astype(I32)
+        lcp = jnp.where(~done & neq, 4 * k + inw, lcp)
+        done = done | neq
+    cur = jnp.full((nseg, s), 4 * W_EXACT, I32)
+    alive = ~done
+    for i, p in enumerate(range(LADDER_LO, 12)):
+        px = lads[i] ^ prev(lads[i])
+        e = (px >> 16) == 0
+        r = (px & 0xFFFF) == 0
+        nxt = jnp.where(e, 1 << (p + 1),
+                        cur + jnp.where(r, 1 << (p - 1), 0))
+        cur = jnp.where(alive, nxt, cur)
+        alive = alive & e
+    lcp = jnp.where(done, lcp, jnp.minimum(cur, LCP_CAP))
+    cap = lens[:, None] - jnp.maximum(p_s, _shr_fill(p_s, 1, s))
+    return jnp.minimum(lcp, jnp.maximum(cap, 0))
+
+
+def _match_table_v2(blocks, lens):
+    """Per-position (lcp, cand) of the v2 spec — one 16-operand sort, all
+    neighbor selection elementwise in rank space, one 3-operand sort back
+    to position order."""
+    nseg, s = blocks.shape
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
+    w, lad = _v2_operands(blocks)
+    ops = (w[0], w[1], w[2], w[3], pos, *w[4:], *lad)
+    out = lax.sort(ops, num_keys=5, is_stable=True)
+    w0s, w1s, w2s, w3s, p_s = out[:5]
+    w4s = out[5:5 + (W_EXACT - 4)]
+    lad_s = out[5 + W_EXACT - 4:]
+    f_s = (p_s + MIN_MATCH > lens[:, None]).astype(U32)
+    al = _alcp_sorted([w0s, w1s, w2s, w3s, *w4s], lad_s, p_s, lens)
+    al = al.at[:, 0].set(0)
+
+    best_l = jnp.zeros((nseg, s), I32)
+    best_c = jnp.full((nseg, s), -1, I32)
+
+    def consider(c, f, l):
+        nonlocal best_l, best_c
+        ok = ((c >= 0) & (c < p_s) & (p_s - c <= MAX_DISTANCE)
+              & (f == 0) & (l >= MIN_MATCH))
+        better = ok & (l > best_l)
+        best_l = jnp.where(better, l, best_l)
+        best_c = jnp.where(better, c, best_c)
+
+    l_up = al
+    for d in range(1, D_UP + 1):
+        if d > 1:
+            l_up = jnp.minimum(l_up, _shr_fill(al, d - 1, 0))
+        consider(_shr_fill(p_s, d, -1), _shr_fill(f_s, d, U32(1)), l_up)
+    l_dn = None
+    for d in range(1, D_DN + 1):
+        nx = _shl_fill(al, d, 0)
+        l_dn = nx if d == 1 else jnp.minimum(l_dn, nx)
+        consider(_shl_fill(p_s, d, -1), _shl_fill(f_s, d, U32(1)), l_dn)
+
+    _, lcp, cand = lax.sort((p_s, best_l, best_c), num_keys=1,
+                            is_stable=True)
+    return lcp, cand
+
+
+def _ohg(vals, idx, B):
+    """Gather vals[m, idx[m, t]] via one-hot MXU contraction; exact for
+    vals < 2^18 (three 6-bit bf16 limbs)."""
+    oh = (idx[:, :, None] == jnp.arange(B, dtype=I32)[None, None, :])
+    limbs = jnp.stack([vals & 63, (vals >> 6) & 63, vals >> 12],
+                      axis=-1).astype(jnp.bfloat16)
+    g = lax.dot_general(oh.astype(jnp.bfloat16), limbs,
+                        (((2,), (1,)), ((0,), (0,))))
+    g = g.astype(I32)
+    return g[..., 0] + (g[..., 1] << 6) + (g[..., 2] << 12)
+
+
+def _greedy_membership(nxt, nseg, s):
+    """Positions visited by the greedy walk next(i), as a [nseg, s] mask.
+    Block-composed: per-B jump tables by one-hot doubling, one scan across
+    blocks, orbit-doubling within entered blocks."""
+    B = WALK_B
+    nb = s // B
+    M = nseg * nb
+    base = ((jnp.arange(M, dtype=I32) % nb) * B)[:, None]
+    A = nxt.reshape(M, B)
+    As = [A]
+    for _ in range(B.bit_length() - 1):          # log2(B) rounds
+        rel = jnp.clip(A - base, 0, B - 1)
+        comp = _ohg(A, rel, B)
+        inb = (A >= base) & (A < base + B)
+        A = jnp.where(inb, comp, A)
+        As.append(A)
+    Xs = A.reshape(nseg, s)
+
+    def hop(p, _):
+        x = jnp.take_along_axis(Xs, jnp.clip(p, 0, s - 1)[:, None],
+                                axis=1)[:, 0]
+        return jnp.where(p >= s, p, x), p
+
+    _, ys = lax.scan(hop, jnp.zeros((nseg,), I32), None, length=nb)
+    blk = ys // B                                 # [nb, nseg]; s//B == nb
+    ent = jnp.full((nseg, nb + 1), -1, I32)
+    seg_ix = jnp.broadcast_to(jnp.arange(nseg, dtype=I32)[None, :],
+                              (nb, nseg))
+    ent = ent.at[seg_ix, blk].set(ys % B)
+    e_rel = ent[:, :nb].reshape(M)
+    e0 = jnp.where(e_rel < 0, s, base[:, 0] + e_rel)[:, None]
+
+    traj = jnp.concatenate([e0, jnp.full((M, B - 1), s, I32)], axis=1)
+    filled = 1
+    for k in range(B.bit_length() - 1):
+        cur = lax.dynamic_slice(traj, (0, 0), (M, filled))
+        rel = jnp.clip(cur - base, 0, B - 1)
+        g = _ohg(As[k], rel, B)
+        inb = (cur >= base) & (cur < base + B)
+        ext = jnp.where(inb, g, s)
+        traj = lax.dynamic_update_slice(traj, ext, (0, filled))
+        filled *= 2
+
+    relt = traj - base
+    oh = ((relt[:, :, None] == jnp.arange(B, dtype=I32)[None, None, :])
+          & (relt[:, :, None] >= 0) & (relt[:, :, None] < B))
+    visited = jnp.any(oh, axis=1)
+    return visited.reshape(nseg, s)
+
+
+@lru_cache(maxsize=16)
+def _parse_fn_v2(nseg: int, s: int, t_cap: int, lazy: bool = True):
+    @jax.jit
+    def run(blocks, lens):
+        pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
+        ll = lens[:, None]
+        lcp, cand = _match_table_v2(blocks, lens)
+        valid = (cand >= 0) & (pos <= ll - LAST_MATCH_GUARD)
+        mlen = jnp.minimum(lcp, ll - END_LITERALS - pos)
+        valid = valid & (mlen >= MIN_MATCH)
+        if lazy:
+            nxt_valid = _shl_fill(valid, 1, False)
+            nxt_mlen = _shl_fill(mlen, 1, 0)
+            valid = valid & ~(nxt_valid & (nxt_mlen > mlen))
+        step = jnp.where(valid, mlen, 1)
+        nxt = jnp.minimum(pos + step, s)
+
+        visited = _greedy_membership(nxt, nseg, s)
+        is_match = visited & valid
+
+        # clamp: first byte-exact mismatch of every selected match, by
+        # cummax offset propagation + one reverse cummin (2 gathers)
+        off = jnp.where(is_match, pos - cand, 0)
+        mstart = lax.cummax(jnp.where(is_match, pos, -1), axis=1)
+        packed = jnp.where(is_match, (off << 13) | mlen, 0)
+        pk_at = jnp.take_along_axis(packed, jnp.clip(mstart, 0), axis=1)
+        off_at = pk_at >> 13
+        mlen_at = pk_at & 0x1FFF
+        src = jnp.clip(pos - off_at, 0)
+        neq = jnp.take_along_axis(blocks, src, axis=1) != blocks
+        within = (mstart >= 0) & (pos - mstart < mlen_at)
+        badpos = jnp.where(neq & within, pos, s)
+        rcm = lax.cummin(badpos, axis=1, reverse=True)
+        mlen_c = jnp.minimum(mlen, rcm - pos)
+
+        mkey = jnp.where(is_match, pos, s)
+        ks, ml, mo = lax.sort(
+            (mkey, jnp.where(is_match, mlen_c, 0), off),
+            num_keys=1, is_stable=True)
+        mpos = ks[:, :t_cap]
+        has = mpos < s
+        m_len = jnp.where(has, ml[:, :t_cap], 0)
+        m_off = jnp.where(has, mo[:, :t_cap], 0)
+        prev_end = jnp.concatenate(
+            [jnp.zeros((nseg, 1), I32), (mpos + m_len)[:, :-1]], axis=1)
+        lit_start = jnp.where(has, prev_end, 0)
+        n_match = has.sum(axis=1)
+        return mpos, m_len, m_off, lit_start, n_match
+
+    return run
+
+
 # ------------------------------------------------------------------ wrappers
 
 def _t_cap(s: int) -> int:
     return s // 4 + 2
 
 
-def slz4_encode_jax(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
+def slz4_encode_jax(data, seg_log2: int = 17, lazy: bool = True,
+                    parse: str = "v2") -> bytes:
     x = as_u8(data)
     n = len(x)
     s = 1 << seg_log2
@@ -409,7 +655,8 @@ def slz4_encode_jax(data, seg_log2: int = 17, lazy: bool = True) -> bytes:
     blocks.reshape(-1)[:n] = x
     lens = np.minimum(s, n - np.arange(n_segs) * s).astype(np.int32)
     t_cap = _t_cap(s)
-    parse = _parse_fn(n_segs, s, t_cap, lazy)
+    parse = (_parse_fn_v2 if parse == "v2" else _parse_fn)(
+        n_segs, s, t_cap, lazy)
     mpos, m_len, m_off, lit_start, n_match = parse(
         jnp.asarray(blocks), jnp.asarray(lens))
     out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024

@@ -23,18 +23,38 @@ def test_oracle_roundtrip():
         assert slz4_ref.slz4_decode(blob) == data
 
 
-def test_jax_container_identity():
-    # NOTE: the JAX parse selects match candidates via two 32-bit hash
+def test_jax_container_identity_v1():
+    # NOTE: the v1 JAX parse selects match candidates via two 32-bit hash
     # chains (ops/lz_ops.py); identity to the oracle's exact-key parse is
     # probabilistic (~2^-64 per compare). A mismatch here on new data is
     # EXPECTED behavior (a hash collision changing one match choice), not a
     # format regression — the container stays valid LZ4 either way.
     for data in _cases():
         for sl in (12,):
-            ref = slz4_ref.slz4_encode(data, seg_log2=sl)
-            jx = lz_ops.slz4_encode_jax(data, seg_log2=sl)
+            ref = slz4_ref.slz4_encode(data, seg_log2=sl, parse="v1")
+            jx = lz_ops.slz4_encode_jax(data, seg_log2=sl, parse="v1")
             assert jx == ref
             assert lz_ops.slz4_decode_jax(jx) == data
+
+
+def test_jax_container_identity_v2():
+    # v2 identity is DETERMINISTIC: the parse spec is defined over the same
+    # u32/u16 hash-chain compares on both backends (the byte-exact clamp
+    # keeps hash false-equalities a ratio detail, never a validity one).
+    for data in _cases():
+        for sl in (12,):
+            ref = slz4_ref.slz4_encode(data, seg_log2=sl, parse="v2")
+            jx = lz_ops.slz4_encode_jax(data, seg_log2=sl, parse="v2")
+            assert jx == ref
+            assert lz_ops.slz4_decode_jax(jx) == data
+
+
+def test_v2_oracle_roundtrip_and_ratio():
+    # v2 beats v1 on compressible data (suffix neighbors surface the
+    # longest nearby match, not the nearest 4-byte one)
+    for data in _cases() + [b"", b"x"]:
+        blob = slz4_ref.slz4_encode(data, seg_log2=12, parse="v2")
+        assert slz4_ref.slz4_decode(blob) == data
 
 
 def test_beats_reference_ratio(fields):
