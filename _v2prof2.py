@@ -1,8 +1,8 @@
-import numpy as np, jax, jax.numpy as jnp, jax.lax as lax
+import time, numpy as np, jax, jax.numpy as jnp, jax.lax as lax
 from cpprcoder_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 from cpprcoder_tpu.ops import lz_ops as L
-from cpprcoder_tpu.bench.timing import measure
+from cpprcoder_tpu.bench.timing import make_loop
 
 data = open('data/kennedy.xls','rb').read()
 n = len(data); s = 1<<17
@@ -18,13 +18,21 @@ def ck(*outs):
         acc = acc + jnp.sum(o.astype(jnp.uint32))
     return acc
 
-# stage 1: match table (big sort + alcp + neighbors + inverse sort)
+def walls(name, body):
+    lo = make_loop(body, 1); hi = make_loop(body, 2)
+    int(lo()); int(hi())
+    w1 = [0]*10; w2 = [0]*10
+    for i in range(10):
+        t0=time.perf_counter(); int(lo()); w1[i]=time.perf_counter()-t0
+        t0=time.perf_counter(); int(hi()); w2[i]=time.perf_counter()-t0
+    w1s = sorted(w1); w2s = sorted(w2)
+    print(name, 'wall1 med', round(w1s[5]*1e3,1), 'min', round(w1s[0]*1e3,1),
+          'wall2 med', round(w2s[5]*1e3,1), 'min', round(w2s[0]*1e3,1),
+          'slope(med)', round((w2s[5]-w1s[5])*1e3,1), flush=True)
+
 def body_mt(p):
     lcp, cand = L._match_table_v2(bj + p, lj)
     return ck(lcp, cand)
-print('match_table ms', round(measure(body_mt, 1, 2, repeats=6, tol=0.6)*1e3, 1), flush=True)
-
-# stage 2: membership (block tables + scan + orbit)
 mtout = jax.jit(L._match_table_v2)(bj, lj)
 lcp0, cand0 = [jnp.asarray(np.asarray(jax.device_get(o))) for o in mtout]
 pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
@@ -37,25 +45,6 @@ def body_mem(p):
     nxt = jnp.minimum(pos + step, s)
     vis = L._greedy_membership(nxt, nseg, s)
     return ck(vis)
-print('membership ms', round(measure(body_mem, 1, 2, repeats=6, tol=0.6)*1e3, 1), flush=True)
-
-# stage 2a: block tables only (one-hot rounds)
-def body_tab(p):
-    step = jnp.where(valid0, mlen0 + p.astype(I32)*0, 1)
-    nxt = jnp.minimum(pos + step, s)
-    B = 128; nb = s // B; M = nseg*nb
-    base = ((jnp.arange(M, dtype=I32) % nb) * B)[:, None]
-    A = nxt.reshape(M, B)
-    acc = jnp.uint32(0)
-    for _ in range(7):
-        rel = jnp.clip(A - base, 0, B - 1)
-        comp = L._ohg(A, rel, B)
-        inb = (A >= base) & (A < base + B)
-        A = jnp.where(inb, comp, A)
-    return ck(A)
-print('block tables ms', round(measure(body_tab, 1, 2, repeats=6, tol=0.6)*1e3, 1), flush=True)
-
-# stage 3: clamp gathers
 off0 = jnp.where(valid0, pos - cand0, 0)
 def body_clamp(p):
     mstart = lax.cummax(jnp.where(valid0, pos, -1), axis=1)
@@ -66,4 +55,6 @@ def body_clamp(p):
     badpos = jnp.where(neq, pos, s)
     rcm = lax.cummin(badpos, axis=1, reverse=True)
     return ck(rcm)
-print('clamp ms', round(measure(body_clamp, 1, 2, repeats=6, tol=0.6)*1e3, 1), flush=True)
+walls('match_table', body_mt)
+walls('membership', body_mem)
+walls('clamp', body_clamp)

@@ -326,7 +326,7 @@ class SLZ4Job:
         t_cap = lz_ops._t_cap(s)
         self.parse = lz_ops._parse_fn_v2(n_segs, s, t_cap, True)
         out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024
-        self.ser = lz_ops._serialize_fn(n_segs, s, t_cap, out_cap)
+        self.ser = lz_ops._serialize_fn_v2(n_segs, s, t_cap, out_cap)
         self._lz = lz_ops
         self.s, self.t_cap, self.out_cap = s, t_cap, out_cap
 

@@ -392,6 +392,114 @@ def _resolve_fn(nseg: int, s: int, t_cap: int):
     return run
 
 
+@lru_cache(maxsize=16)
+def _serialize_fn_v2(nseg: int, s: int, t_cap: int, out_cap: int):
+    """Same output bytes as _serialize_fn, ownership reworked for TPU:
+    the per-output-byte searchsorted (18 binary-search gather rounds over
+    out_cap elements — ~190 ms for 1 MiB, the whole-path bottleneck) and
+    the per-byte field gathers are replaced by ONE scatter of the token
+    records to their output start positions and ONE vectorized cummax that
+    propagates (ordinal | 13-bit field chunk) packs down the byte axis —
+    the token ordinal rides the high bits, so the running max is always
+    the owning token's record. The only gather left is the literal-byte
+    read from the input itself."""
+    tokens = t_cap + 1
+    T = nseg * tokens
+    CH = 13                       # chunk bits; ord(18b) << 13 fits i32
+
+    @jax.jit
+    def run(blocks, lens, mpos, m_len, m_off, lit_start, n_match):
+        tix = jnp.broadcast_to(jnp.arange(tokens, dtype=I32), (nseg, tokens))
+        is_real = tix < n_match[:, None]
+        is_final = tix == n_match[:, None]
+        last_end = jnp.where(
+            n_match > 0,
+            jnp.take_along_axis(mpos + m_len,
+                                jnp.clip(n_match - 1, 0)[:, None],
+                                axis=1)[:, 0],
+            0)
+
+        def fld(a, fill):
+            out = jnp.concatenate([a, jnp.zeros((nseg, 1), I32)], axis=1)
+            return jnp.where(is_real, out[:, :tokens], fill)
+
+        t_lit_start = jnp.where(is_final, last_end[:, None],
+                                fld(lit_start, 0))
+        t_lit_len = jnp.where(
+            is_final, (lens - last_end)[:, None],
+            fld(mpos - lit_start, 0))
+        t_mlen = jnp.where(is_final, 0, fld(m_len, 0))
+        t_off = jnp.where(is_final, 0, fld(m_off, 0))
+        active = is_real | is_final
+
+        el = _ext_len(t_lit_len)
+        em = jnp.where(t_mlen > 0, _ext_len(t_mlen - MIN_MATCH), 0)
+        t_size = jnp.where(
+            active,
+            1 + el + t_lit_len + jnp.where(t_mlen > 0, 2 + em, 0),
+            0)
+        flat_size = t_size.reshape(-1)
+        cum = jnp.cumsum(flat_size)
+        t_start = (cum - flat_size)
+        seg_sizes = t_size.sum(axis=1)
+        total = cum[-1]
+
+        # token records scattered to their output start byte, then
+        # propagated down the byte axis by one vectorized cummax
+        ordi = jnp.arange(T, dtype=I32)
+        M = (1 << CH) - 1
+        f_ts = t_start
+        f_ls = t_lit_start.reshape(-1)
+        f_ll = t_lit_len.reshape(-1)
+        f_ml = t_mlen.reshape(-1)
+        f_of = t_off.reshape(-1)
+        chunks = jnp.stack(
+            [f_ts & M, f_ts >> CH, f_ls & M, f_ls >> CH,
+             f_ll & M, f_ll >> CH, f_ml & M, f_of & M, f_of >> CH],
+            axis=1)                                   # [T, 9]
+        vals = (ordi[:, None] << CH) | chunks
+        idx = jnp.where(active.reshape(-1), t_start, out_cap)
+        buf = jnp.full((out_cap, 9), -1, I32).at[idx, :].set(
+            vals, mode="drop")
+        pk = lax.cummax(buf, axis=0)                  # [out_cap, 9]
+
+        eid = pk[:, 0] >> CH
+        lsf = (pk[:, 2] & M) | ((pk[:, 3] & M) << CH)
+        llf = (pk[:, 4] & M) | ((pk[:, 5] & M) << CH)
+        mlf = pk[:, 6] & M
+        off = (pk[:, 7] & M) | ((pk[:, 8] & M) << CH)
+        ts = (pk[:, 0] & M) | ((pk[:, 1] & M) << CH)
+
+        q = jnp.arange(out_cap, dtype=I32)
+        u = q - ts
+        seg_of = eid // tokens
+        elf = _ext_len(llf)
+        emv = jnp.maximum(mlf - MIN_MATCH, 0)
+        tok = (jnp.minimum(llf, 15) << 4) | jnp.where(
+            mlf > 0, jnp.minimum(emv, 15), 0)
+        e_idx = u - 1
+        lit_rem = llf - 15
+        lext = jnp.where(e_idx < lit_rem // 255, 255, lit_rem % 255)
+        d_idx = u - 1 - elf
+        lit_byte = blocks.reshape(-1)[
+            jnp.clip(seg_of * s + lsf + d_idx, 0, nseg * s - 1)].astype(I32)
+        o_idx = u - 1 - elf - llf
+        off_byte = jnp.where(o_idx == 0, off & 0xFF, off >> 8)
+        x_idx = o_idx - 2
+        m_rem = emv - 15
+        mext = jnp.where(x_idx < m_rem // 255, 255, m_rem % 255)
+
+        val = jnp.where(
+            u == 0, tok,
+            jnp.where(u < 1 + elf, lext,
+                      jnp.where(u < 1 + elf + llf, lit_byte,
+                                jnp.where(o_idx < 2, off_byte, mext))))
+        payload = jnp.where(q < total, val, 0).astype(jnp.uint8)
+        return payload, seg_sizes, total
+
+    return run
+
+
 # ------------------------------------------------------------- parse v2
 # Sort-carry suffix-neighborhood parse (spec: reference/slz4_ref.py
 # parse_segment_v2; containers byte-identical BY CONSTRUCTION — both
@@ -660,7 +768,7 @@ def slz4_encode_jax(data, seg_log2: int = 17, lazy: bool = True,
     mpos, m_len, m_off, lit_start, n_match = parse(
         jnp.asarray(blocks), jnp.asarray(lens))
     out_cap = n_segs * s + (n_segs * s) // 200 + 64 * n_segs + 1024
-    ser = _serialize_fn(n_segs, s, t_cap, out_cap)
+    ser = _serialize_fn_v2(n_segs, s, t_cap, out_cap)
     payload, seg_sizes, total = ser(
         jnp.asarray(blocks), jnp.asarray(lens),
         mpos, m_len, m_off, lit_start, n_match)
