@@ -13,7 +13,7 @@ bj, lj = jnp.asarray(blocks), jnp.asarray(lens)
 t_cap = L._t_cap(s)
 out_cap = n_segs*s + (n_segs*s)//200 + 64*n_segs + 1024
 parse = L._parse_fn_v2.__wrapped__(n_segs, s, t_cap, True)
-ser = L._serialize_fn.__wrapped__(n_segs, s, t_cap, out_cap)
+ser = L._serialize_fn_v2.__wrapped__(n_segs, s, t_cap, out_cap)
 
 def ck(*outs):
     acc = jnp.uint32(0)

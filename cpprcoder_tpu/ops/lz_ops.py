@@ -743,6 +743,161 @@ def _parse_fn_v2(nseg: int, s: int, t_cap: int, lazy: bool = True):
     return run
 
 
+# ------------------------------------------------------------- decode v2
+# Same two passes as v1, reworked around the same TPU primitives as the
+# v2 encode: token discovery rides _greedy_membership (block-composed
+# one-hot jump tables + one scan) instead of a t_cap pointer-doubling
+# orbit, compaction carries the token fields through ONE sort, output-byte
+# ownership is a scatter + packed-cummax (no searchsorted), and the match
+# chain applies a mod-hop per token (an overlapping RLE-style copy
+# resolves in ONE hop to before its own token) under a while_loop that
+# stops as soon as every byte has reached a literal.
+
+def _walk_v2_fn(nseg: int, t_cap: int, cmax: int):
+    """Decode pass 1. cmax must be a multiple of WALK_B."""
+
+    @jax.jit
+    def run(comp, bases, ends):
+        c_cap = comp.shape[0]
+        idx = bases[:, None] + jnp.arange(cmax, dtype=I32)[None, :]
+        rows = comp[jnp.clip(idx, 0, c_cap - 1)].astype(I32)
+        sizes = (ends - bases)[:, None]
+        pos = jnp.broadcast_to(jnp.arange(cmax, dtype=I32), (nseg, cmax))
+
+        def gat(a, i):
+            return jnp.take_along_axis(a, jnp.clip(i, 0, cmax - 1), axis=1)
+
+        rd = lambda i: gat(rows, i)
+        nn = lax.cummin(jnp.where(rows != 255, pos, cmax - 1), axis=1,
+                        reverse=True)
+        tok = rows
+        lit0 = tok >> 4
+        p1 = pos + 1
+        k = jnp.maximum(gat(nn, p1) - p1, 0)
+        lit = jnp.where(lit0 == 15, 15 + 255 * k + rd(p1 + k), lit0)
+        nlb = jnp.where(lit0 == 15, k + 1, 0)
+        q = p1 + nlb          # literal data start
+        r0 = q + lit          # first byte after the literals
+        has = r0 < sizes      # match present iff not at segment end
+        off = jnp.where(has, rd(r0) | (rd(r0 + 1) << 8), 0)
+        ml0 = tok & 0xF
+        r2 = r0 + 2
+        km = jnp.maximum(gat(nn, r2) - r2, 0)
+        mlen = jnp.where(ml0 == 15, 15 + 255 * km + rd(r2 + km), ml0) \
+            + MIN_MATCH
+        mlen = jnp.where(has, mlen, 0)
+        nxt = jnp.where(has, r2 + jnp.where(ml0 == 15, km + 1, 0), r0)
+        # past-the-end positions jump straight to the sentinel (a fixpoint
+        # inside a block would clobber the entry table with duplicate
+        # scatter writes — the walk must EXIT, not stall)
+        nxt = jnp.where(pos >= sizes, cmax, jnp.minimum(nxt, cmax))
+
+        visited = _greedy_membership(nxt, nseg, cmax)
+        is_tok = visited & (pos < sizes)
+
+        mk = jnp.where(is_tok, pos, cmax)
+        ks, lit_c, q_c, off_c, ml_c = lax.sort(
+            (mk, lit, q, off, mlen), num_keys=1, is_stable=True)
+        ks = ks[:, :t_cap]
+        val = ks < sizes
+        l_len = jnp.where(val, lit_c[:, :t_cap], 0)
+        l_src = jnp.where(val, q_c[:, :t_cap], 0) + bases[:, None]
+        m_l = jnp.where(val, ml_c[:, :t_cap], 0)
+        m_o = jnp.where(val, off_c[:, :t_cap], 0)
+        tot = l_len + m_l
+        out_pos = jnp.cumsum(tot, axis=1) - tot
+        return (l_src.T, l_len.T, out_pos.T, m_l.T, m_o.T)
+
+    return run
+
+
+def _resolve_v2_fn(nseg: int, s: int, t_cap: int):
+    """Decode pass 2: scatter + packed-cummax ownership, mod-hop chains."""
+    CH = 13
+    max_rounds = max(1, (t_cap - 1).bit_length()) + 1
+
+    @jax.jit
+    def run(comp_pad, recs, lens):
+        lit_src, lit_len, out_start, mlen, off = [r.T for r in recs]
+        tot = lit_len + mlen
+        ordi = jnp.broadcast_to(jnp.arange(t_cap, dtype=I32)[None, :],
+                                (nseg, t_cap))
+        M = (1 << CH) - 1
+        chunks = jnp.stack(
+            [out_start & M, out_start >> CH, lit_len & M, lit_len >> CH,
+             lit_src & M, lit_src >> CH, off & M, off >> CH], axis=2)
+        vals = (ordi[:, :, None] << CH) | chunks            # [nseg,t_cap,8]
+        idx = jnp.where(tot > 0, out_start, s)
+        seg_ix = jnp.broadcast_to(jnp.arange(nseg, dtype=I32)[:, None],
+                                  (nseg, t_cap))
+        buf = jnp.full((nseg, s, 8), -1, I32).at[seg_ix, idx, :].set(
+            vals, mode="drop")
+        pk = lax.cummax(buf, axis=1)
+
+        ts = (pk[:, :, 0] & M) | ((pk[:, :, 1] & M) << CH)
+        ll = (pk[:, :, 2] & M) | ((pk[:, :, 3] & M) << CH)
+        sr = (pk[:, :, 4] & M) | ((pk[:, :, 5] & M) << CH)
+        of = (pk[:, :, 6] & M) | ((pk[:, :, 7] & M) << CH)
+        none = pk[:, :, 0] < 0
+
+        pos = jnp.broadcast_to(jnp.arange(s, dtype=I32), (nseg, s))
+        in_lit = none | (pos < ts + ll)
+        mstart = ts + ll                       # match span start (output)
+        d = pos - mstart
+        ov = of > 0
+        hop = jnp.where((d >= of) & ov,
+                        mstart - of + d % jnp.maximum(of, 1),
+                        pos - of)
+        src = jnp.where(in_lit, -(sr + (pos - ts)) - 1, hop)
+
+        def cond(state):
+            src, r = state
+            return (r < max_rounds) & jnp.any(src >= 0)
+
+        def body(state):
+            src, r = state
+            nxt = jnp.take_along_axis(src, jnp.clip(src, 0), axis=1)
+            return jnp.where(src < 0, src, nxt), r + 1
+
+        src, _ = lax.while_loop(cond, body, (src, jnp.int32(0)))
+        byte = comp_pad[jnp.clip(-src - 1, 0)]
+        return byte
+
+    return run
+
+
+def slz4_decode_jax_v2(blob) -> bytes:
+    r = ByteReader(blob)
+    n = r.u32()
+    seg_log2 = r.u8()
+    s = 1 << seg_log2
+    n_segs = r.u32()
+    if n_segs == 0:
+        return b""
+    sizes = r.u32s(n_segs).astype(np.int64)
+    comp = r.rest()
+    c_cap = int(sizes.sum()) + 16
+    if c_cap >= 1 << 26:
+        raise ValueError("compressed stream too large for packed decode")
+    comp_pad = np.zeros(c_cap, np.uint8)
+    comp_pad[: sizes.sum()] = comp[: sizes.sum()]
+    bases = np.concatenate(([0], np.cumsum(sizes)))[:-1].astype(np.int32)
+    ends = (bases + sizes).astype(np.int32)
+    lens = np.minimum(s, n - np.arange(n_segs) * s).astype(np.int32)
+    cmax = -(-(int(sizes.max()) + 8) // WALK_B) * WALK_B
+    t_eff = min(_t_cap(s), cmax)
+    comp_dev = jnp.asarray(comp_pad)
+    recs = _walk_v2_cached(n_segs, t_eff, cmax)(
+        comp_dev, jnp.asarray(bases), jnp.asarray(ends))
+    out = _resolve_v2_cached(n_segs, s, t_eff)(
+        comp_dev, recs, jnp.asarray(lens))
+    return np.asarray(jax.device_get(out)).reshape(-1)[: n].tobytes()
+
+
+_walk_v2_cached = lru_cache(maxsize=16)(_walk_v2_fn)
+_resolve_v2_cached = lru_cache(maxsize=16)(_resolve_v2_fn)
+
+
 # ------------------------------------------------------------------ wrappers
 
 def _t_cap(s: int) -> int:
@@ -788,6 +943,8 @@ def slz4_decode_jax(blob) -> bytes:
     if n_segs == 0:
         return b""
     sizes = r.u32s(n_segs).astype(np.int64)
+    if int(sizes.sum()) + 16 < 1 << 26 and s >= WALK_B:
+        return slz4_decode_jax_v2(blob)
     comp = r.rest()
     c_cap = int(sizes.sum()) + 16
     comp_pad = np.zeros(c_cap, np.uint8)
